@@ -1,0 +1,270 @@
+"""Rasterization pipeline: face gather -> z-resolve -> maps -> shading ->
+NMR differentiation hook -> flip -> anti-alias downsample.
+
+Functional re-design of the reference ``rasterize_core``
+(neural_renderer_torch/rasterize.py:194-329): config is a hashable frozen
+dataclass (static under jit), tensors are a pytree param bundle, and the
+whole pipeline is a pure function -- jit/vmap/grad/shard_map compose over
+it directly.
+
+Pipeline (with reference anchors):
+  1.  supersample 2x when anti-aliasing        (rasterize.py:227-228)
+  2.  faces = vertices[:, face_indices]        (rasterize.py:231-232)
+  3.  face_index_map (z-buffer resolve)        (rasterize.py:235, CUDA N1)
+  4.  weight_map (stopped barycentrics)        (rasterize.py:236, CUDA N3)
+  5.  coordinate_map = sum(w * face_xy)        (rasterize.py:237)
+  6.  silhouettes / rgb(texture+lights) / depth (rasterize.py:240-308)
+  7.  differentiation custom-vjp hook          (rasterize.py:313)
+  8.  NCHW permute + flip H, W                 (rasterize.py:315-316)
+  9.  AA 4-tap average pool, /4                (rasterize.py:321-328)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from . import shading
+from .differentiation import differentiation
+from .resolve import compute_face_index_map, compute_weight_map
+
+# Defaults (reference rasterize_param.py:1-10)
+DEFAULT_NEAR = 0.1
+DEFAULT_FAR = 100.0
+DEFAULT_IMAGE_SIZE = 256
+DEFAULT_ANTI_ALIASING = True
+DEFAULT_DRAW_BACKSIDE = True
+DEFAULT_EPS = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeHyperparam:
+    """Static rendering configuration (hashable -> static under jit).
+
+    Reference: neural_renderer_torch/rasterize_param.py:13-33, plus
+    TPU-specific knobs (backend, face_chunk).
+    """
+
+    image_size: int = DEFAULT_IMAGE_SIZE
+    near: float = DEFAULT_NEAR
+    far: float = DEFAULT_FAR
+    eps: float = DEFAULT_EPS
+    anti_aliasing: bool = DEFAULT_ANTI_ALIASING
+    draw_backside: bool = DEFAULT_DRAW_BACKSIDE
+    draw_rgb: bool = True
+    draw_silhouettes: bool = True
+    draw_depth: bool = True
+    backend: str = "auto"     # 'auto' | 'xla' | 'pallas'
+    face_chunk: int = 16      # faces per streamed resolve chunk
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@flax.struct.dataclass
+class RasterizeParam:
+    """Tensor inputs of the rasterizer (a pytree; all leaves optional).
+
+    Reference: neural_renderer_torch/rasterize_param.py:36-50.
+    """
+
+    vertices_textures: Optional[jnp.ndarray] = None  # [bs, nvt, 2]
+    faces_textures: Optional[jnp.ndarray] = None     # [nf, 3] int32
+    textures: Optional[jnp.ndarray] = None           # [bs, 3, th, tw]
+    background_color: Optional[Any] = flax.struct.field(
+        pytree_node=False, default=None
+    )
+    backgrounds: Optional[jnp.ndarray] = None        # [bs, 3, H, W]
+    lights: Optional[Tuple[Any, ...]] = None         # tuple of Light pytrees
+
+
+def _resolve_backend(backend):
+    if backend != "auto":
+        return backend
+    platform = jax.default_backend()
+    if platform != "tpu":
+        return "xla"
+    try:
+        from . import resolve_pallas  # noqa: F401
+        return "pallas"
+    except ImportError:
+        return "xla"
+
+
+def rasterize_core(vertices, faces, params: RasterizeParam, hyperparams: RasterizeHyperparam):
+    """Render the requested channels.  Returns [bs, C, H, W] images
+    (flipped in H and W, like the reference).
+
+    Args:
+      vertices: [bs, nv, 3] float32 NDC-transformed vertices.
+      faces: [nf, 3] int32 vertex indices.
+    """
+    assert vertices.ndim == 3 and vertices.shape[2] == 3
+    assert faces.ndim == 2 and faces.shape[1] == 3
+    hp = hyperparams
+    if hp.draw_rgb:
+        assert params.vertices_textures is not None
+        assert params.vertices_textures.ndim == 3
+        assert params.vertices_textures.shape[2] == 2
+        assert params.faces_textures.ndim == 2
+        assert params.faces_textures.shape[1] == 3
+        assert params.textures.ndim == 4
+        assert params.textures.shape[1] == 3
+
+    batch_size = vertices.shape[0]
+    render_size = hp.image_size * 2 if hp.anti_aliasing else hp.image_size
+
+    # background plane (rasterize.py:208-225)
+    backgrounds = None
+    if params.background_color is not None:
+        color = jnp.asarray(params.background_color, dtype=jnp.float32)
+        backgrounds = jnp.broadcast_to(
+            color[None, :, None, None],
+            (batch_size, 3, render_size, render_size),
+        )
+    elif params.backgrounds is not None:
+        assert params.backgrounds.ndim == 4
+        assert params.backgrounds.shape[0] == batch_size
+        assert params.backgrounds.shape[1] == 3
+        assert params.backgrounds.shape[2] == render_size
+        assert params.backgrounds.shape[3] == render_size
+        backgrounds = params.backgrounds
+
+    # face gather: [bs, nf, 3, 3]; the grad path into vertices
+    face_indices = faces.astype(jnp.int32)
+    face_vertices = jnp.take(vertices, face_indices, axis=1)
+
+    # resolve + maps
+    if _resolve_backend(hp.backend) == "pallas":
+        from .resolve_pallas import compute_face_index_map_pallas
+
+        face_index_map = compute_face_index_map_pallas(
+            jax.lax.stop_gradient(face_vertices),
+            render_size,
+            hp.near,
+            hp.far,
+            hp.draw_backside,
+        )
+    else:
+        face_index_map = compute_face_index_map(
+            jax.lax.stop_gradient(face_vertices),
+            render_size,
+            hp.near,
+            hp.far,
+            hp.draw_backside,
+            hp.face_chunk,
+        )
+    weight_map = compute_weight_map(face_vertices, face_index_map)
+    coordinate_map = shading.compute_coordinate_map(face_vertices, face_index_map, weight_map)
+
+    silhouettes = None
+    if hp.draw_silhouettes or backgrounds is not None:
+        silhouettes = (face_index_map >= 0).astype(jnp.float32)[..., None]
+
+    rgb_map = None
+    if hp.draw_rgb:
+        faces_textures = jnp.take(
+            params.vertices_textures, params.faces_textures.astype(jnp.int32), axis=1
+        )  # [bs, nf, 3, 2]
+        rgb_map = shading.sample_textures(
+            face_vertices, faces_textures, params.textures, face_index_map, weight_map, hp.eps
+        )
+        if params.lights:
+            normal_map = shading.compute_normal_map(
+                vertices, face_indices, face_vertices, face_index_map, weight_map
+            )
+            rgb_map = shading.apply_lights(rgb_map, normal_map, params.lights)
+        if backgrounds is not None:
+            rgb_map = shading.blend_backgrounds(
+                face_index_map, rgb_map, jnp.transpose(backgrounds, (0, 2, 3, 1))
+            )
+
+    depth_map = None
+    if hp.draw_depth:
+        depth_map = shading.compute_depth_map(face_vertices, face_index_map, weight_map)[..., None]
+
+    # merge channels (rasterize.py:295-310)
+    channels = []
+    if rgb_map is not None:
+        channels.append(rgb_map)
+    if hp.draw_silhouettes:
+        channels.append(silhouettes)
+    if depth_map is not None:
+        channels.append(depth_map)
+    if not channels:
+        raise ValueError("nothing to draw")
+    images = channels[0] if len(channels) == 1 else jnp.concatenate(channels, axis=-1)
+
+    # the NMR gradient hook (identity forward)
+    images = differentiation(images, coordinate_map)
+
+    # NCHW + flip (rasterize.py:315-316). On TPU the flip is a free layout
+    # change fused by XLA (the reference laments torch's copying flip).
+    images = jnp.transpose(images, (0, 3, 1, 2))
+    images = images[:, :, ::-1, ::-1]
+
+    if hp.anti_aliasing:
+        images = (
+            images[:, :, 0::2, 0::2]
+            + images[:, :, 1::2, 0::2]
+            + images[:, :, 0::2, 1::2]
+            + images[:, :, 1::2, 1::2]
+        ) / 4.0
+    return images
+
+
+# ---------------------------------------------------------------------------
+# Public entry points (reference rasterize.py:332-365).  Each fixes the draw
+# flags; jit-compiled via a cache keyed on the (hashable) hyperparams.
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_core(hyperparams: RasterizeHyperparam):
+    return jax.jit(
+        lambda vertices, faces, params: rasterize_core(vertices, faces, params, hyperparams)
+    )
+
+
+def _run(vertices, faces, params, hyperparams):
+    vertices = jnp.asarray(vertices, dtype=jnp.float32)
+    faces = jnp.asarray(faces)
+    if params is None:
+        params = RasterizeParam()
+    return _jitted_core(hyperparams)(vertices, faces, params)
+
+
+def rasterize_silhouettes(vertices, faces, params=None, hyperparams=RasterizeHyperparam()):
+    hp = hyperparams.replace(draw_rgb=False, draw_silhouettes=True, draw_depth=False)
+    images = _run(vertices, faces, params, hp)
+    return images[:, 0]
+
+
+def rasterize_rgba(vertices, faces, params=None, hyperparams=RasterizeHyperparam()):
+    hp = hyperparams.replace(draw_rgb=True, draw_silhouettes=True, draw_depth=False)
+    return _run(vertices, faces, params, hp)
+
+
+def rasterize_rgb(vertices, faces, params=None, hyperparams=RasterizeHyperparam()):
+    hp = hyperparams.replace(draw_rgb=True, draw_silhouettes=False, draw_depth=False)
+    return _run(vertices, faces, params, hp)
+
+
+def rasterize_depth(vertices, faces, params=None, hyperparams=RasterizeHyperparam()):
+    hp = hyperparams.replace(draw_rgb=False, draw_silhouettes=False, draw_depth=True)
+    images = _run(vertices, faces, params, hp)
+    return images[:, 0]
+
+
+def rasterize_all(vertices, faces, params=None, hyperparams=RasterizeHyperparam()):
+    """RGB + silhouette + depth in one pass (chainer rasterize.py:614-766)."""
+    hp = hyperparams.replace(draw_rgb=True, draw_silhouettes=True, draw_depth=True)
+    return _run(vertices, faces, params, hp)
+
+
+# chainer-parity alias (chainer rasterize.py:875)
+rasterize = rasterize_rgba
