@@ -1,0 +1,99 @@
+"""Headline benchmark: pixels/s forward+backward, 256x256 teapot silhouette.
+
+Matches the driver's north-star metric (BASELINE.json) and the reference
+harness scene (misc/measure_time.py:13-24: teapot, distance 2.732,
+elevation 30, image_size 256, batch 1, renderer defaults => AA on, i.e.
+the z-resolve runs at 512x512 internally).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md), so vs_baseline compares
+against this repo's committed round-1 measurement (BENCH_BASELINE.json);
+on first run the file is created with the current value (ratio 1.0).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import neural_renderer_v2_pytorch_tpu as nr
+    from neural_renderer_v2_pytorch_tpu.ops.camera import look_at, perspective
+    from neural_renderer_v2_pytorch_tpu.ops.rasterize import (
+        RasterizeHyperparam,
+        rasterize_silhouettes,
+    )
+
+    obj = os.environ.get(
+        "NR_BENCH_OBJ", "/root/reference/tests_torch/data/teapot.obj"
+    )
+    image_size = int(os.environ.get("NR_BENCH_IMAGE_SIZE", "256"))
+    batch_size = int(os.environ.get("NR_BENCH_BATCH", "1"))
+
+    vertices, faces = nr.load_obj(obj)
+    vertices = jnp.asarray(np.tile(vertices[None], (batch_size, 1, 1)))
+    faces = jnp.asarray(faces)
+    eye = jnp.asarray(
+        np.array(nr.get_points_from_angles(2.732, 30, 0), "float32")
+    )
+    hp = RasterizeHyperparam(image_size=image_size)  # AA on (defaults)
+
+    def loss_fn(vertices):
+        tv = perspective(look_at(vertices, eye), angle=30.0)
+        images = rasterize_silhouettes(tv, faces, None, hp)
+        # IoU-style scalar so the full NMR backward runs
+        return jnp.sum(images * images) / (jnp.sum(images) + 1.0)
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+
+    # warm up (compile)
+    loss, grad = step(vertices)
+    jax.block_until_ready((loss, grad))
+
+    # timed: enqueue N, block once (amortizes host<->device latency)
+    n_iters = int(os.environ.get("NR_BENCH_ITERS", "50"))
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        loss, grad = step(vertices)
+    jax.block_until_ready((loss, grad))
+    elapsed = time.perf_counter() - t0
+
+    pixels_per_s = batch_size * image_size * image_size * n_iters / elapsed
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)["value"]
+    else:
+        baseline = pixels_per_s
+        with open(baseline_path, "w") as f:
+            json.dump(
+                {
+                    "metric": "pixels/s fwd+bwd 256x256 teapot silhouette",
+                    "value": pixels_per_s,
+                    "note": "round-1 first measurement (reference publishes none)",
+                    "platform": jax.default_backend(),
+                },
+                f,
+            )
+
+    print(
+        json.dumps(
+            {
+                "metric": "pixels/s fwd+bwd 256x256 teapot silhouette",
+                "value": round(pixels_per_s, 1),
+                "unit": "pixels/s",
+                "vs_baseline": round(pixels_per_s / baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

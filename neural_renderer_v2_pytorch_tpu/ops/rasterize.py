@@ -96,6 +96,144 @@ def _resolve_backend(backend):
         return "xla"
 
 
+def compute_channel_maps(
+    vertices,
+    faces,
+    params: RasterizeParam,
+    hp: RasterizeHyperparam,
+    render_size,
+    row_start=0,
+    num_rows=None,
+):
+    """Rasterize the requested channels for a horizontal row window.
+
+    This is the *row-local* portion of the pipeline (resolve -> maps ->
+    shading); everything here depends only on pixels in
+    ``[row_start, row_start + num_rows)``, so the multi-device path
+    (parallel/render.py) shard_maps it over an image-tile mesh axis and
+    runs the global stage (:func:`finalize_images`) under ordinary jit.
+
+    Returns:
+      images: [bs, num_rows, W, C] merged channels (pre-differentiation,
+        pre-flip, background NOT yet blended).
+      coordinate_map: [bs, num_rows, W, 2].
+      foreground: [bs, num_rows, W, 1] float silhouette mask.
+    """
+    if num_rows is None:
+        num_rows = render_size
+
+    # face gather: [bs, nf, 3, 3]; the grad path into vertices
+    face_indices = faces.astype(jnp.int32)
+    face_vertices = jnp.take(vertices, face_indices, axis=1)
+
+    # resolve + maps
+    if _resolve_backend(hp.backend) == "pallas" and num_rows == render_size:
+        from .resolve_pallas import compute_face_index_map_pallas
+
+        face_index_map = compute_face_index_map_pallas(
+            jax.lax.stop_gradient(face_vertices),
+            render_size,
+            hp.near,
+            hp.far,
+            hp.draw_backside,
+        )
+    else:
+        face_index_map = compute_face_index_map(
+            jax.lax.stop_gradient(face_vertices),
+            render_size,
+            hp.near,
+            hp.far,
+            hp.draw_backside,
+            hp.face_chunk,
+            row_start=row_start,
+            num_rows=num_rows,
+        )
+    weight_map = compute_weight_map(
+        face_vertices, face_index_map, render_size, row_start=row_start
+    )
+    coordinate_map = shading.compute_coordinate_map(face_vertices, face_index_map, weight_map)
+
+    foreground = (face_index_map >= 0).astype(jnp.float32)[..., None]
+
+    rgb_map = None
+    if hp.draw_rgb:
+        faces_textures = jnp.take(
+            params.vertices_textures, params.faces_textures.astype(jnp.int32), axis=1
+        )  # [bs, nf, 3, 2]
+        rgb_map = shading.sample_textures(
+            face_vertices, faces_textures, params.textures, face_index_map, weight_map, hp.eps
+        )
+        if params.lights:
+            normal_map = shading.compute_normal_map(
+                vertices, face_indices, face_vertices, face_index_map, weight_map
+            )
+            rgb_map = shading.apply_lights(rgb_map, normal_map, params.lights)
+
+    depth_map = None
+    if hp.draw_depth:
+        depth_map = shading.compute_depth_map(face_vertices, face_index_map, weight_map)[..., None]
+
+    # merge channels (rasterize.py:295-310)
+    channels = []
+    if rgb_map is not None:
+        channels.append(rgb_map)
+    if hp.draw_silhouettes:
+        channels.append(foreground)
+    if depth_map is not None:
+        channels.append(depth_map)
+    if not channels:
+        raise ValueError("nothing to draw")
+    images = channels[0] if len(channels) == 1 else jnp.concatenate(channels, axis=-1)
+    return images, coordinate_map, foreground
+
+
+def finalize_images(images, coordinate_map, foreground, backgrounds, hp: RasterizeHyperparam):
+    """Global stage: background blend -> NMR differentiation hook -> NCHW
+    permute -> flip -> anti-alias pool.  Runs under ordinary jit; when the
+    inputs are sharded over an image-tile axis, XLA GSPMD inserts the 1-row
+    halo exchanges the differentiation backward needs."""
+    if backgrounds is not None and hp.draw_rgb:
+        # blend (chainer rasterize.py:574-577): backgrounds pre-flipped in
+        # H/W because the merged image is flipped below
+        bg = jnp.transpose(backgrounds, (0, 2, 3, 1))[:, ::-1, ::-1]
+        rgb = foreground * images[..., :3] + (1.0 - foreground) * bg
+        images = jnp.concatenate([rgb, images[..., 3:]], axis=-1)
+
+    # the NMR gradient hook (identity forward)
+    images = differentiation(images, coordinate_map)
+
+    # NCHW + flip (rasterize.py:315-316). On TPU the flip is a free layout
+    # change fused by XLA (the reference laments torch's copying flip).
+    images = jnp.transpose(images, (0, 3, 1, 2))
+    images = images[:, :, ::-1, ::-1]
+
+    if hp.anti_aliasing:
+        images = (
+            images[:, :, 0::2, 0::2]
+            + images[:, :, 1::2, 0::2]
+            + images[:, :, 0::2, 1::2]
+            + images[:, :, 1::2, 1::2]
+        ) / 4.0
+    return images
+
+
+def make_backgrounds(params: RasterizeParam, batch_size, render_size):
+    """Materialize the background plane (reference rasterize.py:208-225)."""
+    if params.background_color is not None:
+        color = jnp.asarray(params.background_color, dtype=jnp.float32)
+        return jnp.broadcast_to(
+            color[None, :, None, None], (batch_size, 3, render_size, render_size)
+        )
+    if params.backgrounds is not None:
+        assert params.backgrounds.ndim == 4
+        assert params.backgrounds.shape[0] == batch_size
+        assert params.backgrounds.shape[1] == 3
+        assert params.backgrounds.shape[2] == render_size
+        assert params.backgrounds.shape[3] == render_size
+        return params.backgrounds
+    return None
+
+
 def rasterize_core(vertices, faces, params: RasterizeParam, hyperparams: RasterizeHyperparam):
     """Render the requested channels.  Returns [bs, C, H, W] images
     (flipped in H and W, like the reference).
@@ -119,103 +257,11 @@ def rasterize_core(vertices, faces, params: RasterizeParam, hyperparams: Rasteri
     batch_size = vertices.shape[0]
     render_size = hp.image_size * 2 if hp.anti_aliasing else hp.image_size
 
-    # background plane (rasterize.py:208-225)
-    backgrounds = None
-    if params.background_color is not None:
-        color = jnp.asarray(params.background_color, dtype=jnp.float32)
-        backgrounds = jnp.broadcast_to(
-            color[None, :, None, None],
-            (batch_size, 3, render_size, render_size),
-        )
-    elif params.backgrounds is not None:
-        assert params.backgrounds.ndim == 4
-        assert params.backgrounds.shape[0] == batch_size
-        assert params.backgrounds.shape[1] == 3
-        assert params.backgrounds.shape[2] == render_size
-        assert params.backgrounds.shape[3] == render_size
-        backgrounds = params.backgrounds
-
-    # face gather: [bs, nf, 3, 3]; the grad path into vertices
-    face_indices = faces.astype(jnp.int32)
-    face_vertices = jnp.take(vertices, face_indices, axis=1)
-
-    # resolve + maps
-    if _resolve_backend(hp.backend) == "pallas":
-        from .resolve_pallas import compute_face_index_map_pallas
-
-        face_index_map = compute_face_index_map_pallas(
-            jax.lax.stop_gradient(face_vertices),
-            render_size,
-            hp.near,
-            hp.far,
-            hp.draw_backside,
-        )
-    else:
-        face_index_map = compute_face_index_map(
-            jax.lax.stop_gradient(face_vertices),
-            render_size,
-            hp.near,
-            hp.far,
-            hp.draw_backside,
-            hp.face_chunk,
-        )
-    weight_map = compute_weight_map(face_vertices, face_index_map)
-    coordinate_map = shading.compute_coordinate_map(face_vertices, face_index_map, weight_map)
-
-    silhouettes = None
-    if hp.draw_silhouettes or backgrounds is not None:
-        silhouettes = (face_index_map >= 0).astype(jnp.float32)[..., None]
-
-    rgb_map = None
-    if hp.draw_rgb:
-        faces_textures = jnp.take(
-            params.vertices_textures, params.faces_textures.astype(jnp.int32), axis=1
-        )  # [bs, nf, 3, 2]
-        rgb_map = shading.sample_textures(
-            face_vertices, faces_textures, params.textures, face_index_map, weight_map, hp.eps
-        )
-        if params.lights:
-            normal_map = shading.compute_normal_map(
-                vertices, face_indices, face_vertices, face_index_map, weight_map
-            )
-            rgb_map = shading.apply_lights(rgb_map, normal_map, params.lights)
-        if backgrounds is not None:
-            rgb_map = shading.blend_backgrounds(
-                face_index_map, rgb_map, jnp.transpose(backgrounds, (0, 2, 3, 1))
-            )
-
-    depth_map = None
-    if hp.draw_depth:
-        depth_map = shading.compute_depth_map(face_vertices, face_index_map, weight_map)[..., None]
-
-    # merge channels (rasterize.py:295-310)
-    channels = []
-    if rgb_map is not None:
-        channels.append(rgb_map)
-    if hp.draw_silhouettes:
-        channels.append(silhouettes)
-    if depth_map is not None:
-        channels.append(depth_map)
-    if not channels:
-        raise ValueError("nothing to draw")
-    images = channels[0] if len(channels) == 1 else jnp.concatenate(channels, axis=-1)
-
-    # the NMR gradient hook (identity forward)
-    images = differentiation(images, coordinate_map)
-
-    # NCHW + flip (rasterize.py:315-316). On TPU the flip is a free layout
-    # change fused by XLA (the reference laments torch's copying flip).
-    images = jnp.transpose(images, (0, 3, 1, 2))
-    images = images[:, :, ::-1, ::-1]
-
-    if hp.anti_aliasing:
-        images = (
-            images[:, :, 0::2, 0::2]
-            + images[:, :, 1::2, 0::2]
-            + images[:, :, 0::2, 1::2]
-            + images[:, :, 1::2, 1::2]
-        ) / 4.0
-    return images
+    backgrounds = make_backgrounds(params, batch_size, render_size)
+    images, coordinate_map, foreground = compute_channel_maps(
+        vertices, faces, params, hp, render_size
+    )
+    return finalize_images(images, coordinate_map, foreground, backgrounds, hp)
 
 
 # ---------------------------------------------------------------------------

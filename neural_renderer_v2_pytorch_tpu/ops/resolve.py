@@ -45,12 +45,17 @@ DEPTH_MIN_DELTA = 1e-4
 DEGENERATE_EPS = 1e-8
 
 
-def _pixel_grid(image_size, dtype=jnp.float32):
-    """Pixel-centre NDC coordinates: xp over columns, yp over rows."""
-    coords = (2.0 * jnp.arange(image_size, dtype=dtype) + 1.0 - image_size) / image_size
-    yp = coords[:, None]   # [H, 1]
-    xp = coords[None, :]   # [1, W]
-    return xp, yp
+def _pixel_grid(image_size, row_start=0, num_rows=None, dtype=jnp.float32):
+    """Pixel-centre NDC coordinates: xp over columns, yp over a row window.
+
+    ``row_start`` may be a traced scalar (used by the tile-sharded path,
+    where each device owns ``num_rows = image_size / n_tiles`` rows)."""
+    if num_rows is None:
+        num_rows = image_size
+    xp = (2.0 * jnp.arange(image_size, dtype=dtype) + 1.0 - image_size) / image_size
+    rows = row_start + jnp.arange(num_rows, dtype=jnp.int32)
+    yp = (2.0 * rows.astype(dtype) + 1.0 - image_size) / image_size
+    return xp[None, :], yp[:, None]  # [1, W], [H, 1]
 
 
 def _face_candidates(face_chunk, xp, yp, near, far, draw_backside):
@@ -116,7 +121,9 @@ def _face_candidates(face_chunk, xp, yp, near, far, draw_backside):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("image_size", "near", "far", "draw_backside", "face_chunk"),
+    static_argnames=(
+        "image_size", "near", "far", "draw_backside", "face_chunk", "num_rows",
+    ),
 )
 def compute_face_index_map(
     faces,
@@ -125,20 +132,26 @@ def compute_face_index_map(
     far=100.0,
     draw_backside=True,
     face_chunk=16,
+    row_start=0,
+    num_rows=None,
 ):
     """Per-pixel z-buffered visible-face id.
 
     Args:
       faces: [bs, nf, 3, 3] float32 gathered face vertices in NDC.
+      row_start/num_rows: optional row window (for image-tile sharding);
+        defaults to the full image.
 
     Returns:
-      int32 [bs, image_size, image_size]; -1 = background.
+      int32 [bs, num_rows, image_size]; -1 = background.
 
     Non-differentiable by construction (integer output), matching the
     reference FaceIndexMap op (rasterize.py:14-57).
     """
     bs, nf = faces.shape[:2]
-    xp, yp = _pixel_grid(image_size)
+    if num_rows is None:
+        num_rows = image_size
+    xp, yp = _pixel_grid(image_size, row_start, num_rows)
 
     # pad face count to a chunk multiple with degenerate (all-zero) faces,
     # which are rejected by the |det| < 1e-8 rule and can never win.
@@ -151,8 +164,8 @@ def compute_face_index_map(
     # [n_chunks, K, bs, 3, 3] -- chunks stream through the scan in face order
     chunked = faces.transpose(1, 0, 2, 3).reshape(n_chunks, face_chunk, bs, 3, 3)
 
-    depth0 = jnp.full((bs, image_size, image_size), far, dtype=jnp.float32)
-    index0 = jnp.full((bs, image_size, image_size), -1, dtype=jnp.int32)
+    depth0 = jnp.full((bs, num_rows, image_size), far, dtype=jnp.float32)
+    index0 = jnp.full((bs, num_rows, image_size), -1, dtype=jnp.int32)
 
     def scan_chunk(carry, inp):
         depth, index = carry
@@ -171,13 +184,14 @@ def compute_face_index_map(
     return index
 
 
-@functools.partial(jax.jit, static_argnames=())
-def compute_weight_map(faces, face_index_map):
+@functools.partial(jax.jit, static_argnames=("image_size",))
+def compute_weight_map(faces, face_index_map, image_size=None, row_start=0):
     """Clamped, renormalized barycentric weights of the winning face.
 
     Args:
       faces: [bs, nf, 3, 3] float32.
-      face_index_map: [bs, H, W] int32.
+      face_index_map: [bs, H, W] int32 (H may be a row window of W-sized
+        square image; pass ``image_size``/``row_start`` in that case).
 
     Returns:
       [bs, H, W, 3] float32 weights; 0 on background.  The result carries
@@ -188,7 +202,9 @@ def compute_weight_map(faces, face_index_map):
     w_sum < 0, clamp each w to >= 0, renormalize, clamp to [0, 1].
     """
     bs, H, W = face_index_map.shape
-    xp, yp = _pixel_grid(H)
+    if image_size is None:
+        image_size = W
+    xp, yp = _pixel_grid(image_size, row_start, H)
     xp = xp[None]  # [1, 1, W]
     yp = yp[None]  # [1, H, 1]
 

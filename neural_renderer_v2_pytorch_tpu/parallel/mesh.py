@@ -1,0 +1,59 @@
+"""Device-mesh construction for distributed rendering.
+
+Two mesh axes (both absent in the reference, which had no distributed
+runtime at all -- SURVEY.md section 2.2):
+
+  * ``data`` -- data parallelism over the batch/camera axis.
+  * ``tile`` -- image-tile ("sequence"-style) parallelism over pixel rows:
+    each device rasterizes a horizontal band of the image.  The z-buffer
+    resolve is row-local, so no communication happens in the forward pass;
+    vertex/texture gradients are combined by the psum that shard_map's
+    transpose inserts for replicated inputs, riding ICI.
+
+Use :func:`make_mesh` on any device set (real TPU slice or the CPU
+``--xla_force_host_platform_device_count`` mesh used in tests/dry runs).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(data=1, tile=None, devices=None):
+    """Build a (data, tile) mesh.
+
+    Args:
+      data: size of the data-parallel axis.
+      tile: size of the image-tile axis; default = remaining devices.
+      devices: explicit device list; default all local devices.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if tile is None:
+        assert n % data == 0, (n, data)
+        tile = n // data
+    assert data * tile <= n, (data, tile, n)
+    devs = np.asarray(devices[: data * tile]).reshape(data, tile)
+    return Mesh(devs, axis_names=("data", "tile"))
+
+
+def auto_mesh(n_devices=None):
+    """Heuristic mesh: prefer tile-parallelism (helps even at batch 1),
+    keep data axis for large batches."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    # largest power-of-two split favoring tile
+    data = 1
+    while n % 2 == 0 and data < 2:
+        # a modest data axis when we have >= 4 devices
+        if n >= 8:
+            data *= 2
+            n //= 2
+        else:
+            break
+    return make_mesh(data=data, devices=devices)

@@ -1,0 +1,50 @@
+"""Pallas resolve kernel parity vs the XLA reference resolve.
+
+Runs in interpreter mode on CPU; on real TPU hardware the compiled kernel
+was verified bit-exact against the same oracle (see resolve_pallas.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import neural_renderer_v2_pytorch_tpu as nr
+from neural_renderer_v2_pytorch_tpu.ops.resolve import compute_face_index_map
+from neural_renderer_v2_pytorch_tpu.ops.resolve_pallas import (
+    compute_face_index_map_pallas,
+)
+
+
+@pytest.mark.parametrize("draw_backside", [True, False])
+def test_pallas_matches_reference_teapot(reference_data, draw_backside):
+    vertices, faces = nr.load_obj(str(reference_data / "teapot.obj"))
+    renderer = nr.Renderer()
+    renderer.viewpoints = nr.get_points_from_angles(2.732, 30, 45)
+    tv = renderer.transform_vertices(jnp.asarray(vertices[None]))
+    fv = jnp.take(tv, jnp.asarray(faces), axis=1)
+
+    ref = np.asarray(compute_face_index_map(fv, 128, 0.1, 100.0, draw_backside, 16))
+    pal = np.asarray(
+        compute_face_index_map_pallas(
+            fv, 128, 0.1, 100.0, draw_backside, face_chunk=32, tile=(64, 128),
+            interpret=True,
+        )
+    )
+    assert (ref == pal).all()
+
+
+def test_pallas_batched_and_odd_faces():
+    # batch of 2 random triangle soups, face count not a chunk multiple
+    rng = np.random.RandomState(0)
+    fv = jnp.asarray(rng.uniform(-1, 1, size=(2, 37, 3, 3)).astype("float32"))
+    fv = fv.at[..., 2].set(jnp.abs(fv[..., 2]) + 0.5)  # positive depths
+
+    ref = np.asarray(compute_face_index_map(fv, 64, 0.1, 100.0, True, 8))
+    pal = np.asarray(
+        compute_face_index_map_pallas(
+            fv, 64, 0.1, 100.0, True, face_chunk=16, tile=(64, 64), interpret=True
+        )
+    )
+    assert (ref == pal).all()
+    assert (ref >= -1).all() and (ref < 37).all()
