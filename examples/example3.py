@@ -1,0 +1,98 @@
+"""Example 3: optimizing a texture atlas under random viewpoints.
+
+TPU-native rework of examples_pytorch/example3.py: tanh-parameterized
+texture atlas, orthographic camera (renderer.perspective = False), random
+azimuth per step via jax.random (threaded PRNG key instead of np.random
+inside the step, so the whole step jits).
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+import neural_renderer_v2_pytorch_tpu as nr
+
+CAMERA_DISTANCE = 2.732
+ELEVATION = 0
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "-io", "--input_obj_file", type=str,
+        default="/root/reference/examples_pytorch/data/teapot.obj",
+    )
+    parser.add_argument(
+        "-ir", "--input_ref_file", type=str,
+        default="/root/reference/examples_pytorch/data/example3_ref.png",
+    )
+    parser.add_argument("-or", "--output_res_file", type=str, default="./data/example3_res.gif")
+    parser.add_argument("-n", "--num_steps", type=int, default=300)
+    return parser.parse_args()
+
+
+def run():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    args = parse_arguments()
+    working_dir = os.path.dirname(args.output_res_file) or "."
+    os.makedirs(working_dir, exist_ok=True)
+
+    vertices, faces = nr.load_obj(args.input_obj_file)
+    vertices = jnp.asarray(vertices[None])
+    faces = jnp.asarray(faces)
+    vertices_t, faces_t, textures = nr.create_textures(faces.shape[0], texture_size=4)
+    vertices_t = jnp.asarray(vertices_t[None])
+    faces_t = jnp.asarray(faces_t)
+    texture_param = jnp.asarray(textures[None])  # trainable, squashed by tanh
+
+    image_ref = jnp.asarray(nr.imread(args.input_ref_file))[..., :3]
+
+    renderer = nr.Renderer()
+    renderer.perspective = False  # orthographic (example3.py:40)
+
+    def render_rgb(texture_param, viewpoint):
+        renderer.viewpoints = viewpoint
+        return renderer.render_rgb(
+            vertices, faces, vertices_t, faces_t, jnp.tanh(texture_param)
+        )
+
+    def loss_fn(texture_param, viewpoint):
+        images = render_rgb(texture_param, viewpoint)
+        return jnp.sum((images[0] - jnp.transpose(image_ref, (2, 0, 1))) ** 2)
+
+    opt = optax.adam(0.01)
+    opt_state = opt.init(texture_param)
+
+    @jax.jit
+    def train_step(texture_param, opt_state, key):
+        azimuth = jax.random.uniform(key, (), minval=0.0, maxval=360.0)
+        viewpoint = nr.get_points_from_angles(
+            jnp.asarray([CAMERA_DISTANCE]), jnp.asarray([0.0]), azimuth[None]
+        )
+        loss, grads = jax.value_and_grad(loss_fn)(texture_param, viewpoint)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(texture_param, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(0)
+    for i in range(args.num_steps):
+        key, sub = jax.random.split(key)
+        texture_param, opt_state, loss = train_step(texture_param, opt_state, sub)
+        if i % 20 == 0 or i == args.num_steps - 1:
+            print("step %d: loss %.3f" % (i, float(loss)))
+
+    for num, azimuth in enumerate(range(0, 360, 4)):
+        vp = jnp.asarray(np.array(
+            nr.get_points_from_angles(CAMERA_DISTANCE, ELEVATION, azimuth), "float32"))
+        images = np.asarray(render_rgb(texture_param, vp))
+        image = np.maximum(images[0].transpose(1, 2, 0), 0)
+        nr.imsave("%s/_tmp_%04d.png" % (working_dir, num), image)
+    nr.make_gif(working_dir, args.output_res_file)
+    print("wrote", args.output_res_file)
+
+
+if __name__ == "__main__":
+    run()

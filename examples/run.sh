@@ -1,0 +1,8 @@
+#!/bin/bash
+# Run all examples (TPU or CPU jax). Outputs land in ./data/.
+set -e
+cd "$(dirname "$0")"
+python example1.py "$@"
+python example2.py "$@"
+python example3.py "$@"
+python example4.py "$@"
