@@ -50,18 +50,22 @@ def main():
         # IoU-style scalar so the full NMR backward runs
         return jnp.sum(images * images) / (jnp.sum(images) + 1.0)
 
-    step = jax.jit(jax.value_and_grad(loss_fn))
+    @jax.jit
+    def step(vertices):
+        loss, grad = jax.value_and_grad(loss_fn)(vertices)
+        # a genuine (tiny-lr) gradient-descent update chains every
+        # iteration's input to the previous output, so no caching layer
+        # between host and device can elide or overlap the work
+        return vertices - 1e-6 * grad, loss
 
-    # warm up (compile)
-    loss, grad = step(vertices)
-    jax.block_until_ready((loss, grad))
+    vertices, loss = step(vertices)  # warm up (compile)
+    jax.block_until_ready((vertices, loss))
 
-    # timed: enqueue N, block once (amortizes host<->device latency)
     n_iters = int(os.environ.get("NR_BENCH_ITERS", "50"))
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        loss, grad = step(vertices)
-    jax.block_until_ready((loss, grad))
+        vertices, loss = step(vertices)
+    jax.block_until_ready((vertices, loss))
     elapsed = time.perf_counter() - t0
 
     pixels_per_s = batch_size * image_size * image_size * n_iters / elapsed

@@ -1,0 +1,122 @@
+"""resolve_and_gather: z-resolve fused with winner-attribute gather,
+with a scatter-add backward.
+
+This op is the TPU-native answer to the reference's kernel + gather
+split: the CUDA pipeline resolves visibility (kernel N1) and then the
+Python layer re-gathers per-face data at every pixel (``to_map``,
+utils.py:104-114, whose autograd transpose is an atomicAdd scatter in the
+chainer twin, rasterize.py:94-115).  Here the winning face's vertex
+coordinates and auxiliary attributes come OUT of the resolve kernel
+directly (vector selects inside the face stream -- no gathers), and the
+backward is one fused masked segment-sum (deterministic scatter-add, no
+atomics).
+
+Gradient semantics match ``to_map`` exactly: d(face_data)[b, fim[p]] +=
+g[p] over foreground pixels; the face-index map itself carries no
+gradient.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .maps import to_map
+from .resolve import compute_face_index_map
+
+
+def _scatter_to_faces(grad_map, face_index_map, num_faces):
+    """[bs, H, W, D] pixel grads -> [bs, nf, D] per-face grads
+    (masked segment-sum; the transpose of the winner-gather)."""
+    bs = grad_map.shape[0]
+    D = grad_map.shape[-1]
+    flat_g = grad_map.reshape(bs, -1, D)
+    flat_i = face_index_map.reshape(bs, -1)
+    mask = (flat_i >= 0)[..., None]
+    flat_g = jnp.where(mask, flat_g, 0.0)
+    safe_i = jnp.maximum(flat_i, 0)
+
+    def per_batch(g, i):
+        return jax.ops.segment_sum(g, i, num_segments=num_faces)
+
+    return jax.vmap(per_batch)(flat_g, safe_i)
+
+
+@functools.partial(
+    jax.custom_vjp,
+    nondiff_argnums=(2, 3, 4, 5, 6),
+)
+def resolve_and_gather(
+    face_vertices,
+    face_attrs,
+    image_size,
+    near,
+    far,
+    draw_backside,
+    backend,
+):
+    """Returns (face_index_map, face_vertex_map, attr_map).
+
+    Args:
+      face_vertices: [bs, nf, 3, 3] NDC face vertices (differentiable).
+      face_attrs: [bs, nf, A] auxiliary per-face attributes
+        (differentiable), or None.
+      backend: 'pallas' (fused kernel) or 'xla' (resolve + to_map gathers).
+
+    Outputs:
+      face_index_map: [bs, H, W] int32, -1 background (non-differentiable).
+      face_vertex_map: [bs, H, W, 3, 3], 0 on background.
+      attr_map: [bs, H, W, A] or None.
+    """
+    return _forward(
+        face_vertices, face_attrs, image_size, near, far, draw_backside, backend
+    )
+
+
+def _forward(face_vertices, face_attrs, image_size, near, far, draw_backside, backend):
+    if backend == "pallas":
+        from .resolve_pallas import resolve_gather_pallas
+
+        fim, fvm, attr_map = resolve_gather_pallas(
+            jax.lax.stop_gradient(face_vertices),
+            None if face_attrs is None else jax.lax.stop_gradient(face_attrs),
+            image_size,
+            near,
+            far,
+            draw_backside,
+        )
+    else:
+        fim = compute_face_index_map(
+            jax.lax.stop_gradient(face_vertices),
+            image_size, near, far, draw_backside,
+        )
+        fvm = to_map(face_vertices, fim)
+        attr_map = None if face_attrs is None else to_map(face_attrs, fim)
+    return fim, fvm, attr_map
+
+
+def _fwd(face_vertices, face_attrs, image_size, near, far, draw_backside, backend):
+    out = _forward(
+        face_vertices, face_attrs, image_size, near, far, draw_backside, backend
+    )
+    fim = out[0]
+    residuals = (fim, face_vertices.shape[1])
+    return out, residuals
+
+
+def _bwd(image_size, near, far, draw_backside, backend, residuals, g):
+    fim, num_faces = residuals
+    _, g_fvm, g_attr = g
+    bs, H, W = fim.shape
+    g_faces = _scatter_to_faces(
+        g_fvm.reshape(bs, H, W, 9), fim, num_faces
+    ).reshape(bs, num_faces, 3, 3)
+    g_attrs = None
+    if g_attr is not None and not isinstance(g_attr, jax.custom_derivatives.SymbolicZero):
+        g_attrs = _scatter_to_faces(g_attr, fim, num_faces)
+    return g_faces, g_attrs
+
+
+resolve_and_gather.defvjp(_fwd, _bwd)

@@ -122,56 +122,94 @@ def compute_channel_maps(
     if num_rows is None:
         num_rows = render_size
 
+    bs = vertices.shape[0]
+
     # face gather: [bs, nf, 3, 3]; the grad path into vertices
     face_indices = faces.astype(jnp.int32)
     face_vertices = jnp.take(vertices, face_indices, axis=1)
+    nf = face_vertices.shape[1]
 
-    # resolve + maps
-    if _resolve_backend(hp.backend) == "pallas" and num_rows == render_size:
-        from .resolve_pallas import compute_face_index_map_pallas
+    faces_textures = None
+    if hp.draw_rgb:
+        faces_textures = jnp.take(
+            params.vertices_textures, params.faces_textures.astype(jnp.int32), axis=1
+        )  # [bs, nf, 3, 2]
+    normals = None
+    if hp.draw_rgb and params.lights:
+        normals = shading.face_vertex_normals(vertices, face_indices, face_vertices)
 
-        face_index_map = compute_face_index_map_pallas(
-            jax.lax.stop_gradient(face_vertices),
-            render_size,
-            hp.near,
-            hp.far,
-            hp.draw_backside,
+    backend = _resolve_backend(hp.backend)
+    if num_rows == render_size:
+        # fused resolve + winner-attribute gather: the winning face's
+        # vertex coords / UVs / normals come straight out of the resolve
+        # (Pallas: vector selects in the face stream; XLA: one to_map),
+        # eliminating all per-pixel face gathers from the shading stage.
+        from .gather_resolve import resolve_and_gather
+
+        attrs = []
+        if faces_textures is not None:
+            attrs.append(faces_textures.reshape(bs, nf, 6))
+        if normals is not None:
+            attrs.append(normals.reshape(bs, nf, 9))
+        face_attrs = jnp.concatenate(attrs, -1) if attrs else None
+        face_index_map, face_vertex_map, attr_map = resolve_and_gather(
+            face_vertices, face_attrs, render_size, hp.near, hp.far,
+            hp.draw_backside, backend,
         )
+        uv_map = None
+        normal_vertex_map = None
+        off = 0
+        if faces_textures is not None:
+            uv_map = attr_map[..., :6].reshape(bs, num_rows, render_size, 3, 2)
+            off = 6
+        if normals is not None:
+            normal_vertex_map = attr_map[..., off : off + 9].reshape(
+                bs, num_rows, render_size, 3, 3
+            )
     else:
+        # row-window path (image-tile sharding): XLA resolve + to_map
         face_index_map = compute_face_index_map(
             jax.lax.stop_gradient(face_vertices),
-            render_size,
-            hp.near,
-            hp.far,
-            hp.draw_backside,
-            hp.face_chunk,
-            row_start=row_start,
-            num_rows=num_rows,
+            render_size, hp.near, hp.far, hp.draw_backside, hp.face_chunk,
+            row_start=row_start, num_rows=num_rows,
         )
-    weight_map = compute_weight_map(
-        face_vertices, face_index_map, render_size, row_start=row_start
+        from .maps import to_map
+
+        face_vertex_map = to_map(face_vertices, face_index_map)
+        uv_map = (
+            to_map(faces_textures, face_index_map)
+            if faces_textures is not None else None
+        )
+        normal_vertex_map = (
+            to_map(normals, face_index_map) if normals is not None else None
+        )
+
+    from .resolve import weight_map_from_gathered
+
+    weight_map = weight_map_from_gathered(
+        face_vertex_map, face_index_map, render_size, row_start=row_start
     )
-    coordinate_map = shading.compute_coordinate_map(face_vertices, face_index_map, weight_map)
+    coordinate_map = shading.compute_coordinate_map_from(face_vertex_map, weight_map)
 
     foreground = (face_index_map >= 0).astype(jnp.float32)[..., None]
 
     rgb_map = None
     if hp.draw_rgb:
-        faces_textures = jnp.take(
-            params.vertices_textures, params.faces_textures.astype(jnp.int32), axis=1
-        )  # [bs, nf, 3, 2]
-        rgb_map = shading.sample_textures(
-            face_vertices, faces_textures, params.textures, face_index_map, weight_map, hp.eps
+        rgb_map = shading.sample_textures_from(
+            face_vertex_map[..., 2], uv_map, params.textures,
+            face_index_map, weight_map, hp.eps,
         )
         if params.lights:
-            normal_map = shading.compute_normal_map(
-                vertices, face_indices, face_vertices, face_index_map, weight_map
+            normal_map = shading.normal_map_from_gathered(
+                normal_vertex_map, weight_map
             )
             rgb_map = shading.apply_lights(rgb_map, normal_map, params.lights)
 
     depth_map = None
     if hp.draw_depth:
-        depth_map = shading.compute_depth_map(face_vertices, face_index_map, weight_map)[..., None]
+        depth_map = shading.compute_depth_map_from(
+            face_vertex_map[..., 2], face_index_map, weight_map
+        )[..., None]
 
     # merge channels (rasterize.py:295-310)
     channels = []

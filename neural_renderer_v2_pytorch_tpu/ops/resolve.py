@@ -204,18 +204,31 @@ def compute_weight_map(faces, face_index_map, image_size=None, row_start=0):
     bs, H, W = face_index_map.shape
     if image_size is None:
         image_size = W
-    xp, yp = _pixel_grid(image_size, row_start, H)
-    xp = xp[None]  # [1, 1, W]
-    yp = yp[None]  # [1, H, 1]
 
     faces = jax.lax.stop_gradient(faces)
     safe_idx = jnp.maximum(face_index_map, 0)
     flat = faces.reshape(bs, -1, 9)
     g = jnp.take_along_axis(flat, safe_idx.reshape(bs, -1, 1), axis=1)
-    g = g.reshape(bs, H, W, 9)
-    x0, y0 = g[..., 0], g[..., 1]
-    x1, y1 = g[..., 3], g[..., 4]
-    x2, y2 = g[..., 6], g[..., 7]
+    g = g.reshape(bs, H, W, 3, 3)
+    return weight_map_from_gathered(g, face_index_map, image_size, row_start)
+
+
+@functools.partial(jax.jit, static_argnames=("image_size",))
+def weight_map_from_gathered(face_vertex_map, face_index_map, image_size=None, row_start=0):
+    """Weight map from the pre-gathered winner vertices [bs,H,W,3,3]
+    (no per-pixel gather; pairs with the fused resolve).  Same math as
+    :func:`compute_weight_map`; result is gradient-stopped."""
+    bs, H, W = face_index_map.shape
+    if image_size is None:
+        image_size = W
+    xp, yp = _pixel_grid(image_size, row_start, H)
+    xp = xp[None]  # [1, 1, W]
+    yp = yp[None]  # [1, H, 1]
+
+    g = jax.lax.stop_gradient(face_vertex_map)
+    x0, y0 = g[..., 0, 0], g[..., 0, 1]
+    x1, y1 = g[..., 1, 0], g[..., 1, 1]
+    x2, y2 = g[..., 2, 0], g[..., 2, 1]
 
     w0 = yp * (x2 - x1) + xp * (y1 - y2) + (x1 * y2 - x2 * y1)
     w1 = yp * (x0 - x2) + xp * (y2 - y0) + (x2 * y0 - x0 * y2)

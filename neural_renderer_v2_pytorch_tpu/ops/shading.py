@@ -25,51 +25,67 @@ from ..models import lights as light_lib
 from .maps import mask_foreground, to_map
 
 
-def compute_depth_map(faces, face_index_map, weight_map):
-    """Perspective-correct depth: 1 / sum(w / z), masked to foreground."""
-    faces_z_map = to_map(faces[:, :, :, -1:], face_index_map)[:, :, :, :, 0]  # [bs,H,W,3]
+def compute_depth_map_from(faces_z_map, face_index_map, weight_map):
+    """Perspective-correct depth 1 / sum(w / z) from the pre-gathered
+    per-pixel vertex depths [bs, H, W, 3]; masked to foreground."""
     depth_map = 1.0 / jnp.sum(weight_map / faces_z_map, axis=-1)
     return mask_foreground(depth_map, face_index_map)
 
 
+def compute_depth_map(faces, face_index_map, weight_map):
+    """Gather-based variant (reference rasterize.py:80-88 shape)."""
+    faces_z_map = to_map(faces[:, :, :, -1:], face_index_map)[:, :, :, :, 0]
+    return compute_depth_map_from(faces_z_map, face_index_map, weight_map)
+
+
+def compute_coordinate_map_from(face_vertex_map, weight_map):
+    """Barycentric-interpolated screen XY from the pre-gathered winner
+    vertices [bs, H, W, 3, 3].  This is THE gradient port: the NMR
+    backward flows into vertices only through this map (weight_map is a
+    stopped constant)."""
+    return jnp.sum(
+        face_vertex_map[..., :2] * weight_map[:, :, :, :, None], axis=-2
+    )
+
+
 def compute_coordinate_map(faces, face_index_map, weight_map):
-    """Barycentric-interpolated screen XY.  This is THE gradient port: the
-    NMR backward flows into vertices only through this map (weight_map is
-    a stopped constant)."""
-    faces_map = to_map(faces[:, :, :, :2], face_index_map)  # [bs,H,W,3,2]
-    return jnp.sum(faces_map * weight_map[:, :, :, :, None], axis=-2)
+    """Gather-based variant (reference rasterize.py:91-97 shape)."""
+    faces_map = to_map(faces, face_index_map)  # [bs,H,W,3,3]
+    return compute_coordinate_map_from(faces_map, weight_map)
 
 
-def sample_textures(faces, faces_textures, textures, face_index_map, weight_map, eps):
-    """Perspective-correct UV interpolation + bilinear atlas gather.
+def sample_textures_from(
+    faces_z_map, vertices_textures_map, textures, face_index_map, weight_map, eps
+):
+    """Perspective-correct UV interpolation + bilinear atlas gather, from
+    pre-gathered per-pixel maps.
 
     Args:
-      faces: [bs, nf, 3, 3] NDC face vertices (z used for persp. correction).
-      faces_textures: [bs, nf, 3, 2] per-face UV triangles (texel coords).
+      faces_z_map: [bs, H, W, 3] winner vertex depths (differentiable).
+      vertices_textures_map: [bs, H, W, 3, 2] winner UV triangle (texel
+        coords, differentiable).
       textures: [bs, 3, th, tw] atlas.
       face_index_map: [bs, H, W] int32.
       weight_map: [bs, H, W, 3].
       eps: UV clamp margin (hyperparams.eps, default 1e-5).
 
-    Returns [bs, H, W, 3] RGB.  Differentiable w.r.t. textures, faces (via
-    z) and faces_textures, matching the torch path (the chainer twin
-    detaches faces/UVs -- torch semantics are primary).
+    Returns [bs, H, W, 3] RGB.  Differentiable w.r.t. textures, vertex
+    depths and UVs, matching the torch path (rasterize.py:100-153; the
+    chainer twin detaches faces/UVs -- torch semantics are primary).
     """
-    batch_size = faces.shape[0]
+    batch_size = faces_z_map.shape[0]
     texture_height, texture_width = textures.shape[2:]
 
     textures = jnp.transpose(textures, (0, 2, 3, 1)).reshape(
         batch_size, texture_height * texture_width, 3
     )
-    faces_z_map = to_map(faces[:, :, :, 2], face_index_map)        # [bs,H,W,3]
-    vertices_textures_map = to_map(faces_textures, face_index_map)  # [bs,H,W,3,2]
     depth_map = 1.0 / jnp.sum(weight_map / (faces_z_map + 1e-10) + 1e-10, axis=-1)
 
     vtm_original = vertices_textures_map
     vtm = jnp.sum(
         weight_map[..., None] * vertices_textures_map / (faces_z_map[..., None] + 1e-10),
         axis=-2,
-    )
+    )  # [bs, H, W, 2]
     vtm = vtm * depth_map[..., None]                                # [bs,H,W,2]
     # clamp UVs into the face's own bbox minus eps (rasterize.py:120-121)
     vtm = jnp.maximum(vtm, jnp.min(vtm_original, axis=-2))
@@ -104,6 +120,16 @@ def sample_textures(faces, faces_textures, textures, face_index_map, weight_map,
     return mask_foreground(images, face_index_map)
 
 
+def sample_textures(faces, faces_textures, textures, face_index_map, weight_map, eps):
+    """Gather-based variant: gathers the per-pixel z / UV maps with
+    ``to_map`` first (the reference's structure, rasterize.py:100-153)."""
+    faces_z_map = to_map(faces[:, :, :, 2], face_index_map)         # [bs,H,W,3]
+    vertices_textures_map = to_map(faces_textures, face_index_map)  # [bs,H,W,3,2]
+    return sample_textures_from(
+        faces_z_map, vertices_textures_map, textures, face_index_map, weight_map, eps
+    )
+
+
 def blend_backgrounds(face_index_map, rgb_map, backgrounds):
     """Composite background behind the mesh.  ``backgrounds`` is
     [bs, H, W, 3]; it is pre-flipped in H/W because the merged image is
@@ -112,14 +138,14 @@ def blend_backgrounds(face_index_map, rgb_map, backgrounds):
     return foreground_map * rgb_map + (1.0 - foreground_map) * backgrounds[:, ::-1, ::-1]
 
 
-def compute_normal_map(vertices, face_indices, faces, face_index_map, weight_map, smooth=True):
-    """Per-pixel smoothed vertex normals.
+def face_vertex_normals(vertices, face_indices, faces):
+    """Per-face per-vertex smoothed normals [bs, nf, 3, 3].
 
     Face normals via cross products; vertex normals via a segment-sum over
     the face-vertex incidence (equivalent to the reference's {0,1}
     incidence matmul, rasterize.py:173-179: any face with a duplicated
     vertex has a zero cross product, so set-vs-add makes no difference);
-    normalize, gather per face, barycentric-smooth.
+    normalize, gather per face.
     """
     num_vertices = vertices.shape[1]
     v01 = faces[:, :, 1, :] - faces[:, :, 0, :]
@@ -135,14 +161,21 @@ def compute_normal_map(vertices, face_indices, faces, face_index_map, weight_map
     vn = jax.vmap(accumulate)(n)  # [bs, nv, 3]
     norm = jnp.linalg.norm(vn, axis=2, keepdims=True)
     vn = vn / jnp.maximum(norm, 1e-12)
-    fn = jnp.take(vn, face_indices, axis=1)  # [bs, nf, 3, 3]
+    return jnp.take(vn, face_indices, axis=1)  # [bs, nf, 3, 3]
 
-    normal_map = to_map(fn, face_index_map)  # [bs, H, W, 3, 3]
+
+def normal_map_from_gathered(normal_vertex_map, weight_map, smooth=True):
+    """Smooth the pre-gathered per-pixel vertex normals [bs,H,W,3,3]."""
     if smooth:
-        normal_map = jnp.sum(weight_map[..., None] * normal_map, axis=-2)
-    else:
-        normal_map = jnp.mean(normal_map, axis=-2)
-    return normal_map
+        return jnp.sum(weight_map[..., None] * normal_vertex_map, axis=-2)
+    return jnp.mean(normal_vertex_map, axis=-2)
+
+
+def compute_normal_map(vertices, face_indices, faces, face_index_map, weight_map, smooth=True):
+    """Gather-based variant (reference rasterize.py:162-190 shape)."""
+    fn = face_vertex_normals(vertices, face_indices, faces)
+    normal_vertex_map = to_map(fn, face_index_map)  # [bs, H, W, 3, 3]
+    return normal_map_from_gathered(normal_vertex_map, weight_map, smooth)
 
 
 def apply_lights(rgb_map, normal_map, lights):
