@@ -173,25 +173,44 @@ def load_obj(filename_obj, normalization=True, load_textures_flag=None, *, load_
     if load_textures_flag is not None:  # positional-compat shim
         load_textures = load_textures_flag
 
-    vertices = []
-    faces = []
+    # geometry pass: native C++ parser when available (identical output),
+    # pure-Python fallback otherwise
+    native = None
+    try:
+        from .native_loader import parse_obj_native
+
+        native = parse_obj_native(filename_obj)
+    except FileNotFoundError:
+        raise
+    except Exception:
+        native = None
+
     mtl_name = None
     with open(filename_obj) as f:
         for line in f:
-            parts = line.split()
-            if not parts:
-                continue
-            if parts[0] == "v":
-                vertices.append([float(v) for v in parts[1:4]])
-            elif parts[0] == "f":
-                vs = parts[1:]
-                ids = [int(v.split("/")[0]) for v in vs]
-                for i in range(len(vs) - 2):
-                    faces.append((ids[0], ids[i + 1], ids[i + 2]))
-            elif parts[0] == "mtllib":
-                mtl_name = parts[1]
-    vertices = np.asarray(vertices, dtype=np.float32).reshape(-1, 3)
-    faces = np.asarray(faces, dtype=np.int32) - 1
+            if line.startswith("mtllib"):
+                mtl_name = line.split()[1]
+                break
+
+    if native is not None:
+        vertices, faces = native[0], native[1]
+    else:
+        vertices = []
+        faces = []
+        with open(filename_obj) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                if parts[0] == "v":
+                    vertices.append([float(v) for v in parts[1:4]])
+                elif parts[0] == "f":
+                    vs = parts[1:]
+                    ids = [int(v.split("/")[0]) for v in vs]
+                    for i in range(len(vs) - 2):
+                        faces.append((ids[0], ids[i + 1], ids[i + 2]))
+        vertices = np.asarray(vertices, dtype=np.float32).reshape(-1, 3)
+        faces = np.asarray(faces, dtype=np.int32) - 1
 
     textures = None
     if load_textures:
