@@ -110,12 +110,23 @@ def _bwd(image_size, near, far, draw_backside, backend, residuals, g):
     fim, num_faces = residuals
     _, g_fvm, g_attr = g
     bs, H, W = fim.shape
-    g_faces = _scatter_to_faces(
-        g_fvm.reshape(bs, H, W, 9), fim, num_faces
-    ).reshape(bs, num_faces, 3, 3)
-    g_attrs = None
-    if g_attr is not None and not isinstance(g_attr, jax.custom_derivatives.SymbolicZero):
-        g_attrs = _scatter_to_faces(g_attr, fim, num_faces)
+    g_fvm = g_fvm.reshape(bs, H, W, 9)
+    has_attr = g_attr is not None and not isinstance(
+        g_attr, jax.custom_derivatives.SymbolicZero
+    )
+    if backend == "pallas":
+        from .resolve_pallas import scatter_to_faces_pallas
+
+        # one fused kernel call: coords and attrs share the one-hot matmul
+        g_all = jnp.concatenate([g_fvm, g_attr], -1) if has_attr else g_fvm
+        per_face = scatter_to_faces_pallas(g_all, fim, num_faces)
+        g_faces = per_face[..., :9].reshape(bs, num_faces, 3, 3)
+        g_attrs = per_face[..., 9:] if has_attr else None
+    else:
+        g_faces = _scatter_to_faces(g_fvm, fim, num_faces).reshape(
+            bs, num_faces, 3, 3
+        )
+        g_attrs = _scatter_to_faces(g_attr, fim, num_faces) if has_attr else None
     return g_faces, g_attrs
 
 

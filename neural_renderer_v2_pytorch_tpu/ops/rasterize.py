@@ -240,19 +240,18 @@ def finalize_images(images, coordinate_map, foreground, backgrounds, hp: Rasteri
     # the NMR gradient hook (identity forward)
     images = differentiation(images, coordinate_map)
 
-    # NCHW + flip (rasterize.py:315-316). On TPU the flip is a free layout
-    # change fused by XLA (the reference laments torch's copying flip).
-    images = jnp.transpose(images, (0, 3, 1, 2))
-    images = images[:, :, ::-1, ::-1]
-
+    # flip H, W + AA 4-tap pool + NCHW (rasterize.py:315-328).  Flip and
+    # pool run in NHWC with the pool as a reshape-mean, and the NCHW
+    # transpose happens last on the 4x-smaller image: the reference's
+    # literal transpose -> reversed-strided-slice chain compiles to a
+    # pathological copy sequence on TPU (2.8 ms vs 0.33 ms at 512^2).
+    # Same math: the 2x2 block average commutes with flipping both axes
+    # (H, W even), and with the channel transpose.
+    images = images[:, ::-1, ::-1]
     if hp.anti_aliasing:
-        images = (
-            images[:, :, 0::2, 0::2]
-            + images[:, :, 1::2, 0::2]
-            + images[:, :, 0::2, 1::2]
-            + images[:, :, 1::2, 1::2]
-        ) / 4.0
-    return images
+        b, h, w, c = images.shape
+        images = images.reshape(b, h // 2, 2, w // 2, 2, c).mean((2, 4))
+    return jnp.transpose(images, (0, 3, 1, 2))
 
 
 def make_backgrounds(params: RasterizeParam, batch_size, render_size):

@@ -48,3 +48,48 @@ def test_pallas_batched_and_odd_faces():
     )
     assert (ref == pal).all()
     assert (ref >= -1).all() and (ref < 37).all()
+
+
+def test_scatter_to_faces_matches_segment_sum(reference_data):
+    """The MXU one-hot scatter backward == the XLA segment-sum oracle."""
+    from neural_renderer_v2_pytorch_tpu.ops.gather_resolve import _scatter_to_faces
+    from neural_renderer_v2_pytorch_tpu.ops.resolve_pallas import (
+        scatter_to_faces_pallas,
+    )
+
+    vertices, faces = nr.load_obj(str(reference_data / "teapot.obj"))
+    renderer = nr.Renderer()
+    renderer.viewpoints = nr.get_points_from_angles(2.732, 30, 45)
+    tv = renderer.transform_vertices(jnp.asarray(vertices[None]))
+    fv = jnp.take(tv, jnp.asarray(faces), axis=1)
+    nf = fv.shape[1]
+
+    fim = compute_face_index_map(fv, 128, 0.1, 100.0, True, 16)
+    rng = np.random.RandomState(1)
+    g = jnp.asarray(rng.randn(1, 128, 128, 9).astype("float32"))
+
+    ref = np.asarray(_scatter_to_faces(g, fim, nf))
+    pal = np.asarray(
+        scatter_to_faces_pallas(g, fim, nf, strip=2048, face_chunk=64, interpret=True)
+    )
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(pal, ref, atol=1e-4 * scale)
+
+
+def test_scatter_to_faces_tiny_image_and_odd_faces():
+    """Strip auto-shrink (P < default strip) and non-multiple face counts."""
+    from neural_renderer_v2_pytorch_tpu.ops.gather_resolve import _scatter_to_faces
+    from neural_renderer_v2_pytorch_tpu.ops.resolve_pallas import (
+        scatter_to_faces_pallas,
+    )
+
+    rng = np.random.RandomState(2)
+    nf = 37
+    fim = jnp.asarray(rng.randint(-1, nf, size=(2, 32, 32)).astype("int32"))
+    g = jnp.asarray(rng.randn(2, 32, 32, 5).astype("float32"))
+    ref = np.asarray(_scatter_to_faces(g, fim, nf))
+    pal = np.asarray(
+        scatter_to_faces_pallas(g, fim, nf, face_chunk=16, interpret=True)
+    )
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(pal, ref, atol=1e-4 * scale)
