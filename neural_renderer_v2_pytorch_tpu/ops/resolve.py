@@ -74,9 +74,19 @@ def _face_candidates(face_chunk, xp, yp, near, far, draw_backside):
     x1, y1, z1 = f[:, :, 1, 0], f[:, :, 1, 1], f[:, :, 1, 2]
     x2, y2, z2 = f[:, :, 2, 0], f[:, :, 2, 1], f[:, :, 2, 2]
 
-    # strict bbox reject (kernel.cu:94-97)
-    out = ((xp < x0) & (xp < x1) & (xp < x2)) | ((x0 < xp) & (x1 < xp) & (x2 < xp))
-    out |= ((yp < y0) & (yp < y1) & (yp < y2)) | ((y0 < yp) & (y1 < yp) & (y2 < yp))
+    # The per-pixel math is written in the per-face-constant coefficient
+    # form shared with the Pallas kernels (resolve_pallas._face_scalars /
+    # _face_accept): every per-pixel quantity is affine in (xp, yp), the
+    # reference's c1/c2/c3 inside tests are identically w2/w0/w1, and
+    # w0+w1+w2 is the per-face determinant.  Same accept semantics as
+    # rasterize_cuda_kernel.cu:94-148, ~2.5x fewer per-pixel ops.
+
+    # strict bbox reject (kernel.cu:94-97) via exact per-face min/max
+    xmin = jnp.minimum(jnp.minimum(x0, x1), x2)
+    xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
+    ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
+    ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
+    out = (xp < xmin) | (xmax < xp) | (yp < ymin) | (ymax < yp)
 
     # backface cull -- per-face scalar predicate.
     # NOTE on the sign: the reference kernel source culls
@@ -92,29 +102,27 @@ def _face_candidates(face_chunk, xp, yp, near, far, draw_backside):
         backside = (y2 - y0) * (x1 - x0) < (y1 - y0) * (x2 - x0)
         out |= backside
 
-    # inside test via signed edge cross products (kernel.cu:107-115)
-    c1 = (yp - y0) * (x1 - x0) - (y1 - y0) * (xp - x0)
-    c2 = (yp - y1) * (x2 - x1) - (y2 - y1) * (xp - x1)
-    out |= c1 * c2 < 0
-    c3 = (yp - y2) * (x0 - x2) - (y0 - y2) * (xp - x2)
-    out |= c2 * c3 < 0
+    # scaled barycentrics == the reference's inside-test cross products
+    # (c1 == w2, c2 == w0, c3 == w1; kernel.cu:107-115, 129-136)
+    C0 = x1 * y2 - x2 * y1
+    C1 = x2 * y0 - x0 * y2
+    C2 = x0 * y1 - x1 * y0
+    w0 = yp * (x2 - x1) + xp * (y1 - y2) + C0
+    w1 = yp * (x0 - x2) + xp * (y2 - y0) + C1
+    w2 = yp * (x1 - x0) + xp * (y0 - y1) + C2
+    out |= w2 * w0 < 0
+    out |= w0 * w1 < 0
 
-    # degenerate reject (kernel.cu:118-121)
-    det = x2 * (y0 - y1) + x0 * (y1 - y2) + x1 * (y2 - y0)
+    # degenerate reject (kernel.cu:118-121); det == w0+w1+w2, per face
+    det = C0 + C1 + C2
     out |= jnp.abs(det) < DEGENERATE_EPS
 
-    # barycentric weights, normalized by their (signed) sum (kernel.cu:129-136)
-    w0 = yp * (x2 - x1) + xp * (y1 - y2) + (x1 * y2 - x2 * y1)
-    w1 = yp * (x0 - x2) + xp * (y2 - y0) + (x2 * y0 - x0 * y2)
-    w2 = yp * (x1 - x0) + xp * (y0 - y1) + (x0 * y1 - x1 * y0)
-    w_sum = w0 + w1 + w2
-    # perspective-correct 1/zp = sum(w/z) (kernel.cu:139)
-    zp = w_sum / (w0 / z0 + w1 / z1 + w2 / z2)
+    # perspective-correct 1/zp = sum(w/z) / sum(w) (kernel.cu:139)
+    zp = det / (w0 * (1.0 / z0) + w1 * (1.0 / z1) + w2 * (1.0 / z2))
 
-    # near/far clip (kernel.cu:140-142), strict
+    # near/far clip (kernel.cu:140-142), strict; NaN zp (0/0 on fully
+    # degenerate geometry) fails both strict comparisons and is rejected
     out |= ~((near < zp) & (zp < far))
-    # NaNs (degenerate divisions) are masked out too: comparisons yield False
-    out |= jnp.isnan(zp)
 
     return jnp.where(out, jnp.inf, zp)
 

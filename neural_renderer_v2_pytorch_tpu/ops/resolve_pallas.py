@@ -44,242 +44,423 @@ DEPTH_MIN_DELTA = 1e-4
 DEGENERATE_EPS = 1e-8
 
 
-def _resolve_kernel(
-    # scalar-prefetch / SMEM operands
-    mask_ref,        # [1, 1, n_tile_x, n_chunks] int32 chunk-overlap flags
-    faces_ref,       # [1, 1, 9, K] f32 in SMEM: chunk of faces, coord-major
+def _face_scalars(read, k):
+    """Per-face scalar precompute (runs on the scalar core, overlapped with
+    the previous face's vector work).
+
+    The reference kernel recomputes everything per pixel-thread
+    (rasterize_cuda_kernel.cu:94-139); on TPU every per-pixel quantity is
+    affine in (xp, yp), so the nine edge coefficients (w_i = yp*A_i +
+    xp*B_i + C_i), the inverse depths, the determinant (== the constant
+    w0+w1+w2), and the bbox are face constants.  This also collapses the
+    reference's separate c1/c2/c3 inside tests: c1 == w2, c2 == w0,
+    c3 == w1 identically (expand the cross products), so the per-pixel
+    work drops from ~47 VPU ops + 4 divides to ~30 ops + 1 divide.
+    """
+    x0, y0, z0 = read(0, k), read(1, k), read(2, k)
+    x1, y1, z1 = read(3, k), read(4, k), read(5, k)
+    x2, y2, z2 = read(6, k), read(7, k), read(8, k)
+    coef = (
+        x2 - x1, y1 - y2, x1 * y2 - x2 * y1,   # A0, B0, C0
+        x0 - x2, y2 - y0, x2 * y0 - x0 * y2,   # A1, B1, C1
+        x1 - x0, y0 - y1, x0 * y1 - x1 * y0,   # A2, B2, C2
+    )
+    det = coef[2] + coef[5] + coef[8]
+    iz = (1.0 / z0, 1.0 / z1, 1.0 / z2)
+    bbox = (
+        jnp.minimum(jnp.minimum(x0, x1), x2),
+        jnp.maximum(jnp.maximum(x0, x1), x2),
+        jnp.minimum(jnp.minimum(y0, y1), y2),
+        jnp.maximum(jnp.maximum(y0, y1), y2),
+    )
+    # golden-image backface convention (see resolve.py note)
+    backside = (y2 - y0) * (x1 - x0) < (y1 - y0) * (x2 - x0)
+    xyz = (x0, y0, z0, x1, y1, z1, x2, y2, z2)
+    return xyz, coef, iz, det, bbox, backside
+
+
+def _face_accept(xp, yp, coef, iz, det, bbox, depth, near, far):
+    """Vectorized accept mask + candidate depth for one face over a tile.
+
+    Exact reference semantics (rasterize_cuda_kernel.cu:94-148): strict
+    bbox reject (via the face's exact min/max), inside test via the signs
+    of the scaled barycentrics, perspective-correct zp, strict near/far
+    clip (NaN zp fails the clip), and the sequential z-buffer tolerance.
+    Degenerate and backface rejects are per-face constants handled by the
+    caller's scalar cull.
+    """
+    A0, B0, C0, A1, B1, C1, A2, B2, C2 = coef
+    xmin, xmax, ymin, ymax = bbox
+    out = (xp < xmin) | (xmax < xp) | (yp < ymin) | (ymax < yp)
+    w0 = yp * A0 + xp * B0 + C0
+    w1 = yp * A1 + xp * B1 + C1
+    w2 = yp * A2 + xp * B2 + C2
+    out |= w2 * w0 < 0
+    out |= w0 * w1 < 0
+    zp = det / (w0 * iz[0] + w1 * iz[1] + w2 * iz[2])
+    out |= ~((near < zp) & (zp < far))
+    accept = ~out & (zp <= depth - DEPTH_MIN_DELTA)
+    return accept, zp, (w0, w1, w2)
+
+
+def _row_windows(bbox, ty, tile_h, rw, image_size):
+    """Tile-local row range covering a face's pixel rows, as (first
+    8-aligned start row, number of rw-row windows).
+
+    Row r has pixel-centre yp = (2r + 1 - S)/S, so the face's NDC y-range
+    [ymin, ymax] covers rows in [(ymin*S + S - 1)/2, (ymax*S + S - 1)/2];
+    the float clip before the int cast guards against extreme coords.
+    Conservative (may include a boundary row that the exact per-pixel bbox
+    test then rejects); window starts are clamped to tile_h - rw, and
+    re-processing an overlap row is harmless because an accepted face
+    cannot re-accept against its own depth (zp <= zp - 1e-4 is false).
+    """
+    half = (image_size - 1.0) * 0.5
+    y_lo = jnp.floor(bbox[2] * (image_size * 0.5) + half)
+    y_hi = jnp.ceil(bbox[3] * (image_size * 0.5) + half)
+    base = jnp.float32(ty * tile_h)
+    r_lo = jnp.clip(y_lo - base, 0.0, tile_h).astype(jnp.int32)
+    r_hi = jnp.clip(y_hi - base + 1.0, 0.0, tile_h).astype(jnp.int32)
+    r0 = (r_lo // 8) * 8
+    n_win = (r_hi - r0 + rw - 1) // rw
+    return r0, n_win
+
+
+
+def _binned_kernel(
+    # SMEM operands
+    cnt_ref,         # [1, 1, n_tiles] int32: faces binned to each tile
+    ids_ref,         # [1, 1, 1, K] int32: original face ids, bin order
+    faces_ref,       # [1, 1, 9, K] f32: binned face coords, coord-major
+    attrs_ref,       # [1, 1, A, K] f32 (only when num_attrs > 0)
     # outputs (VMEM, resident across the chunk axis)
     index_ref,       # [1, TH, TW] int32
-    depth_ref,       # [1, TH, TW] f32 scratch-as-output
-    *,
-    image_size,
-    near,
-    far,
-    draw_backside,
-    face_chunk,
-    tile_h,
-    tile_w,
-):
-    c = pl.program_id(3)
-    ty = pl.program_id(1)
-    tx = pl.program_id(2)
-
-    @pl.when(c == 0)
-    def _init():
-        depth_ref[...] = jnp.full((1, tile_h, tile_w), far, jnp.float32)
-        index_ref[...] = jnp.full((1, tile_h, tile_w), -1, jnp.int32)
-
-    @pl.when(mask_ref[0, 0, tx, c] != 0)
-    def _process_chunk():
-        # pixel-centre NDC coords for this tile
-        row = ty * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-        col = tx * tile_w + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-        inv = 1.0 / image_size
-        yp = (2.0 * row.astype(jnp.float32) + (1.0 - image_size)) * inv
-        xp = (2.0 * col.astype(jnp.float32) + (1.0 - image_size)) * inv
-
-        # NDC bounds of this tile (pixel centres), for per-face scalar culling
-        tile_x_lo = (2.0 * (tx * tile_w) + (1.0 - image_size)) * inv
-        tile_x_hi = (2.0 * (tx * tile_w + tile_w - 1) + (1.0 - image_size)) * inv
-        tile_y_lo = (2.0 * (ty * tile_h) + (1.0 - image_size)) * inv
-        tile_y_hi = (2.0 * (ty * tile_h + tile_h - 1) + (1.0 - image_size)) * inv
-
-        def face_body(k, carry):
-            x0 = faces_ref[0, 0, 0, k]
-            y0 = faces_ref[0, 0, 1, k]
-            z0 = faces_ref[0, 0, 2, k]
-            x1 = faces_ref[0, 0, 3, k]
-            y1 = faces_ref[0, 0, 4, k]
-            z1 = faces_ref[0, 0, 5, k]
-            x2 = faces_ref[0, 0, 6, k]
-            y2 = faces_ref[0, 0, 7, k]
-            z2 = faces_ref[0, 0, 8, k]
-
-            # scalar cull: face bbox vs tile bounds -- skips the ~35 vector
-            # ops for the (common) faces that miss this tile entirely.
-            # Matches the per-pixel strict bbox reject: a face is drawable at
-            # some tile pixel only if not (all xs < tile_lo or all xs >
-            # tile_hi), ditto y.
-            hit = ~(
-                ((x0 < tile_x_lo) & (x1 < tile_x_lo) & (x2 < tile_x_lo))
-                | ((tile_x_hi < x0) & (tile_x_hi < x1) & (tile_x_hi < x2))
-                | ((y0 < tile_y_lo) & (y1 < tile_y_lo) & (y2 < tile_y_lo))
-                | ((tile_y_hi < y0) & (tile_y_hi < y1) & (tile_y_hi < y2))
-            )
-            return jax.lax.cond(
-                hit,
-                lambda carry: _face_rasterize(
-                    carry, k, x0, y0, z0, x1, y1, z1, x2, y2, z2
-                ),
-                lambda carry: carry,
-                carry,
-            )
-
-        def _face_rasterize(carry, k, x0, y0, z0, x1, y1, z1, x2, y2, z2):
-            depth, index = carry
-            # strict bbox reject (kernel.cu:94-97)
-            out = ((xp < x0) & (xp < x1) & (xp < x2)) | ((x0 < xp) & (x1 < xp) & (x2 < xp))
-            out |= ((yp < y0) & (yp < y1) & (yp < y2)) | ((y0 < yp) & (y1 < yp) & (y2 < yp))
-
-            # backface cull: golden-image convention (see resolve.py note)
-            if not draw_backside:
-                out |= (y2 - y0) * (x1 - x0) < (y1 - y0) * (x2 - x0)
-
-            # inside test (kernel.cu:107-115)
-            c1 = (yp - y0) * (x1 - x0) - (y1 - y0) * (xp - x0)
-            c2 = (yp - y1) * (x2 - x1) - (y2 - y1) * (xp - x1)
-            out |= c1 * c2 < 0
-            c3 = (yp - y2) * (x0 - x2) - (y0 - y2) * (xp - x2)
-            out |= c2 * c3 < 0
-
-            det = x2 * (y0 - y1) + x0 * (y1 - y2) + x1 * (y2 - y0)
-            out |= jnp.abs(det) < DEGENERATE_EPS
-
-            w0 = yp * (x2 - x1) + xp * (y1 - y2) + (x1 * y2 - x2 * y1)
-            w1 = yp * (x0 - x2) + xp * (y2 - y0) + (x2 * y0 - x0 * y2)
-            w2 = yp * (x1 - x0) + xp * (y0 - y1) + (x0 * y1 - x1 * y0)
-            w_sum = w0 + w1 + w2
-            zp = w_sum / (w0 / z0 + w1 / z1 + w2 / z2)
-
-            out |= ~((near < zp) & (zp < far))
-            out |= jnp.isnan(zp)
-
-            # sequential z-buffer accept (kernel.cu:145-148)
-            accept = ~out & (zp <= depth - DEPTH_MIN_DELTA)
-            depth = jnp.where(accept, zp, depth)
-            index = jnp.where(accept, c * face_chunk + k, index)
-            return depth, index
-
-        depth, index = jax.lax.fori_loop(
-            0, face_chunk, face_body, (depth_ref[0], index_ref[0])
-        )
-        depth_ref[0] = depth
-        index_ref[0] = index
-
-
-def _resolve_gather_kernel(
-    mask_ref,        # [1, 1, n_tile_x, n_chunks] int32 chunk-overlap flags
-    faces_ref,       # [1, 1, 9, K] f32 in SMEM
-    attrs_ref,       # [1, 1, A, K] f32 in SMEM (or None when A == 0)
-    index_ref,       # [1, TH, TW] int32
-    coords_ref,      # [1, 9, TH, TW] f32: winning face vertex coords
-    attr_out_ref,    # [1, A, TH, TW] f32 (or None)
     depth_ref,       # [1, TH, TW] f32
+    # latch outputs (only when latch)
+    coords_ref,      # [1, 9, TH, TW] f32
+    attr_out_ref,    # [1, A, TH, TW] f32 (only when num_attrs > 0)
     *,
     image_size,
     near,
     far,
-    draw_backside,
     face_chunk,
     tile_h,
     tile_w,
+    n_tile_x,
+    row_window,
     num_attrs,
+    latch,
 ):
-    """Fused resolve + winner-attribute gather.
+    """Z-resolve over host-binned per-tile face lists.
 
-    Identical z-buffer semantics to ``_resolve_kernel``, but at every
-    accepted face the kernel also latches the face's 9 vertex coordinates
-    (and ``num_attrs`` auxiliary per-face scalars, e.g. the 6 UV values)
-    into per-pixel accumulators.  This replaces the reference's ``to_map``
-    per-pixel gathers (utils.py:104-114) with vector selects inside the
-    face stream -- the dominant cost of the XLA pipeline (the 512^2
-    gathers measured ~2.2 ms each on v5e; the selects are ~free).
+    Every face in this tile's bin overlaps the tile (the host prepass
+    culled misses, degenerates, and backfaces and compacted survivors in
+    face-id order -- see ``_bin_faces``), so there is no per-face branch
+    at all: the chunk loop runs exactly ``cnt - c*K`` iterations, and each
+    face touches only the ``row_window``-row slabs covering its pixel
+    rows.  The sequential z-buffer accept (kernel.cu:145-148) is preserved
+    because compaction is order-stable and a pixel's winner depends only
+    on faces that cover it.
     """
-    c = pl.program_id(3)
-    ty = pl.program_id(1)
-    tx = pl.program_id(2)
+    t = pl.program_id(1)
+    c = pl.program_id(2)
+    ty = t // n_tile_x
+    tx = t % n_tile_x
+    rw = row_window
 
     @pl.when(c == 0)
     def _init():
         depth_ref[...] = jnp.full((1, tile_h, tile_w), far, jnp.float32)
         index_ref[...] = jnp.full((1, tile_h, tile_w), -1, jnp.int32)
-        coords_ref[...] = jnp.zeros((1, 9, tile_h, tile_w), jnp.float32)
-        if num_attrs:
-            attr_out_ref[...] = jnp.zeros((1, num_attrs, tile_h, tile_w), jnp.float32)
+        if latch:
+            coords_ref[...] = jnp.zeros((1, 9, tile_h, tile_w), jnp.float32)
+            if num_attrs:
+                attr_out_ref[...] = jnp.zeros(
+                    (1, num_attrs, tile_h, tile_w), jnp.float32
+                )
 
-    @pl.when(mask_ref[0, 0, tx, c] != 0)
+    n_in_chunk = jnp.clip(cnt_ref[0, 0, t] - c * face_chunk, 0, face_chunk)
+
+    @pl.when(n_in_chunk > 0)
     def _process_chunk():
-        row = ty * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-        col = tx * tile_w + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        col = tx * tile_w + jax.lax.broadcasted_iota(jnp.int32, (rw, tile_w), 1)
         inv = 1.0 / image_size
-        yp = (2.0 * row.astype(jnp.float32) + (1.0 - image_size)) * inv
         xp = (2.0 * col.astype(jnp.float32) + (1.0 - image_size)) * inv
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (rw, tile_w), 0)
 
-        tile_x_lo = (2.0 * (tx * tile_w) + (1.0 - image_size)) * inv
-        tile_x_hi = (2.0 * (tx * tile_w + tile_w - 1) + (1.0 - image_size)) * inv
-        tile_y_lo = (2.0 * (ty * tile_h) + (1.0 - image_size)) * inv
-        tile_y_hi = (2.0 * (ty * tile_h + tile_h - 1) + (1.0 - image_size)) * inv
+        def face_body(k, _):
+            read = lambda j, kk: faces_ref[0, 0, j, kk]
+            xyz, coef, iz, det, bbox, _backside = _face_scalars(read, k)
+            fid = ids_ref[0, 0, 0, k]
+            r0, n_win = _row_windows(bbox, ty, tile_h, rw, image_size)
 
-        def rasterize_face(carry, k, xyz):
-            depth, index = carry
-            x0, y0, z0, x1, y1, z1, x2, y2, z2 = xyz
-
-            out = ((xp < x0) & (xp < x1) & (xp < x2)) | ((x0 < xp) & (x1 < xp) & (x2 < xp))
-            out |= ((yp < y0) & (yp < y1) & (yp < y2)) | ((y0 < yp) & (y1 < yp) & (y2 < yp))
-            if not draw_backside:
-                out |= (y2 - y0) * (x1 - x0) < (y1 - y0) * (x2 - x0)
-            c1 = (yp - y0) * (x1 - x0) - (y1 - y0) * (xp - x0)
-            c2 = (yp - y1) * (x2 - x1) - (y2 - y1) * (xp - x1)
-            out |= c1 * c2 < 0
-            c3 = (yp - y2) * (x0 - x2) - (y0 - y2) * (xp - x2)
-            out |= c2 * c3 < 0
-            det = x2 * (y0 - y1) + x0 * (y1 - y2) + x1 * (y2 - y0)
-            out |= jnp.abs(det) < DEGENERATE_EPS
-            w0 = yp * (x2 - x1) + xp * (y1 - y2) + (x1 * y2 - x2 * y1)
-            w1 = yp * (x0 - x2) + xp * (y2 - y0) + (x2 * y0 - x0 * y2)
-            w2 = yp * (x1 - x0) + xp * (y0 - y1) + (x0 * y1 - x1 * y0)
-            w_sum = w0 + w1 + w2
-            zp = w_sum / (w0 / z0 + w1 / z1 + w2 / z2)
-            out |= ~((near < zp) & (zp < far))
-            out |= jnp.isnan(zp)
-
-            accept = ~out & (zp <= depth - DEPTH_MIN_DELTA)
-            depth = jnp.where(accept, zp, depth)
-            index = jnp.where(accept, c * face_chunk + k, index)
-            # latch the winner's attributes with masked stores -- keeps the
-            # fori/cond carry tiny (2 planes) so skipped faces stay cheap
-            tile_shape = (tile_h, tile_w)
-            for j in range(9):
+            def win_body(w, _):
+                # r0, rw, tile_h are all 8-aligned; tell Mosaic so the
+                # dynamic sublane slice compiles to aligned vector ops
+                start = pl.multiple_of(
+                    jnp.minimum(r0 + w * rw, tile_h - rw), 8
+                )
+                rows = pl.ds(start, rw)
+                depth = depth_ref[0, rows, :]
+                gr = ty * tile_h + start + row_iota
+                yp = (2.0 * gr.astype(jnp.float32) + (1.0 - image_size)) * inv
+                accept, zp, _ = _face_accept(
+                    xp, yp, coef, iz, det, bbox, depth, near, far
+                )
+                pltpu.store(depth_ref.at[0, rows, :], zp, mask=accept)
                 pltpu.store(
-                    coords_ref.at[0, j],
-                    jnp.broadcast_to(xyz[j], tile_shape),
+                    index_ref.at[0, rows, :],
+                    jnp.full((rw, tile_w), fid, jnp.int32),
                     mask=accept,
                 )
-            for a in range(num_attrs):
-                pltpu.store(
-                    attr_out_ref.at[0, a],
-                    jnp.broadcast_to(attrs_ref[0, 0, a, k], tile_shape),
-                    mask=accept,
+                if latch:
+                    win_shape = (rw, tile_w)
+                    for j in range(9):
+                        pltpu.store(
+                            coords_ref.at[0, j, rows, :],
+                            jnp.broadcast_to(xyz[j], win_shape),
+                            mask=accept,
+                        )
+                    for a in range(num_attrs):
+                        pltpu.store(
+                            attr_out_ref.at[0, a, rows, :],
+                            jnp.broadcast_to(attrs_ref[0, 0, a, k], win_shape),
+                            mask=accept,
+                        )
+                return 0
+
+            jax.lax.fori_loop(0, n_win, win_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_in_chunk, face_body, 0)
+
+
+def _bin_faces(face_vertices, image_size, n_tile_y, n_tile_x, tile_h, tile_w,
+               draw_backside):
+    """Order-stable per-tile face binning (pure XLA prepass).
+
+    Returns (order [bs, n_tiles, nf] int32, cnt [bs, n_tiles] int32): for
+    each image tile, the face ids overlapping it (by the same strict
+    pixel-centre bbox test the kernel would apply), compacted to the
+    front in ascending id order.  Degenerate (|det| < 1e-8) and culled
+    backfaces are excluded here once instead of per (face, tile); both
+    tests use the identical f32 expressions as ``_face_scalars``.
+    """
+    bs, nf = face_vertices.shape[:2]
+    x = face_vertices[..., 0]  # [bs, nf, 3]
+    y = face_vertices[..., 1]
+    x0, x1, x2 = x[..., 0], x[..., 1], x[..., 2]
+    y0, y1, y2 = y[..., 0], y[..., 1], y[..., 2]
+
+    det = (x1 * y2 - x2 * y1) + (x2 * y0 - x0 * y2) + (x0 * y1 - x1 * y0)
+    valid = jnp.abs(det) >= DEGENERATE_EPS
+    if not draw_backside:
+        valid &= ~((y2 - y0) * (x1 - x0) < (y1 - y0) * (x2 - x0))
+
+    xmin = jnp.min(x, -1)
+    xmax = jnp.max(x, -1)
+    ymin = jnp.min(y, -1)
+    ymax = jnp.max(y, -1)
+
+    inv = 1.0 / image_size
+    def lo(t0):  # NDC of a tile's first pixel centre
+        return (2.0 * t0 + (1.0 - image_size)) * inv
+    def hi(t0, ext):  # NDC of a tile's last pixel centre
+        return (2.0 * (t0 + ext - 1) + (1.0 - image_size)) * inv
+
+    tx0 = jnp.arange(n_tile_x, dtype=jnp.float32) * tile_w
+    ty0 = jnp.arange(n_tile_y, dtype=jnp.float32) * tile_h
+    x_ov = ~(
+        (xmax[..., None] < lo(tx0)) | (hi(tx0, tile_w) < xmin[..., None])
+    )  # [bs, nf, Tx]
+    y_ov = ~(
+        (ymax[..., None] < lo(ty0)) | (hi(ty0, tile_h) < ymin[..., None])
+    )  # [bs, nf, Ty]
+    hit = valid[..., None, None] & y_ov[..., :, None] & x_ov[..., None, :]
+    hit = hit.reshape(bs, nf, n_tile_y * n_tile_x).transpose(0, 2, 1)
+
+    # order-stable binary-key compaction via cumsum + scatter (an argsort
+    # here costs ~0.3 ms at 2.5k faces x 8 bins; this is ~10x cheaper):
+    # hits go to positions 0..cnt-1 in id order, misses fill the tail.
+    hit_pos = jnp.cumsum(hit, axis=-1, dtype=jnp.int32) - 1
+    cnt = hit_pos[..., -1] + 1
+    nf_ = hit.shape[-1]
+    miss_pos = nf_ - jnp.cumsum(~hit, axis=-1, dtype=jnp.int32)
+    pos = jnp.where(hit, hit_pos, miss_pos)
+    ids = jnp.broadcast_to(
+        jnp.arange(nf_, dtype=jnp.int32), hit.shape
+    )
+    order = jnp.zeros(hit.shape, jnp.int32).at[
+        jnp.arange(hit.shape[0])[:, None, None],
+        jnp.arange(hit.shape[1])[None, :, None],
+        pos,
+    ].set(ids, mode="drop")
+    return order, cnt
+
+
+def _run_binned(
+    face_vertices,
+    face_attrs,
+    image_size,
+    near,
+    far,
+    draw_backside,
+    face_chunk,
+    tile,
+    row_window,
+    latch,
+    interpret,
+):
+    """Common driver: bin -> gather bins -> pallas_call.
+
+    Returns (face_index_map, coords [bs,9,H,W] or None, attrs or None).
+    """
+    bs, nf = face_vertices.shape[:2]
+    num_attrs = 0 if face_attrs is None else face_attrs.shape[-1]
+    if tile is None:
+        th = 256 if (latch and num_attrs) else 512
+        tile = (min(th, image_size), min(128, image_size))
+    tile_h, tile_w = tile
+    row_window = min(row_window, tile_h)
+    assert image_size % tile_h == 0 and image_size % tile_w == 0
+    assert tile_h % 8 == 0 and row_window % 8 == 0
+    n_tile_y = image_size // tile_h
+    n_tile_x = image_size // tile_w
+    n_tiles = n_tile_y * n_tile_x
+
+    order, cnt = _bin_faces(
+        face_vertices, image_size, n_tile_y, n_tile_x, tile_h, tile_w,
+        draw_backside,
+    )
+
+    pad = (-nf) % face_chunk
+    nf_p = nf + pad
+    n_chunks = nf_p // face_chunk
+
+    # gather each bin's faces (and attrs) in bin order; pad the tail
+    flat = face_vertices.reshape(bs, 1, nf, 9)
+    binned = jnp.take_along_axis(flat, order[..., None], axis=2)
+    binned = jnp.pad(binned, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    # coord-major chunks for cheap SMEM scalar reads, with the (tile,
+    # chunk) axes flattened so every SMEM block's trailing dims equal the
+    # array dims (a Pallas lowering requirement): [bs, T*nc, 9, K]
+    faces_cm = binned.reshape(bs, n_tiles * n_chunks, face_chunk, 9)
+    faces_cm = faces_cm.transpose(0, 1, 3, 2)
+    ids = jnp.pad(order, ((0, 0), (0, 0), (0, pad)))
+    ids = ids.reshape(bs, n_tiles * n_chunks, 1, face_chunk)
+
+    inputs = [cnt[:, None, :], ids, faces_cm]
+    nc = n_chunks
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, n_tiles), lambda b, t, c: (b, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, 1, face_chunk),
+            lambda b, t, c: (b, t * nc + c, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, 9, face_chunk),
+            lambda b, t, c: (b, t * nc + c, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+    ]
+    if num_attrs:
+        flat_a = face_attrs.reshape(bs, 1, nf, num_attrs)
+        binned_a = jnp.take_along_axis(flat_a, order[..., None], axis=2)
+        binned_a = jnp.pad(binned_a, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        attrs_cm = binned_a.reshape(
+            bs, n_tiles * n_chunks, face_chunk, num_attrs
+        ).transpose(0, 1, 3, 2)
+        inputs.append(attrs_cm)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, num_attrs, face_chunk),
+                lambda b, t, c: (b, t * nc + c, 0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        )
+
+    tile_idx = lambda b, t, c: (b, t // n_tile_x, t % n_tile_x)
+    out_specs = [
+        pl.BlockSpec((1, tile_h, tile_w), tile_idx),
+        pl.BlockSpec((1, tile_h, tile_w), tile_idx),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bs, image_size, image_size), jnp.int32),
+        jax.ShapeDtypeStruct((bs, image_size, image_size), jnp.float32),
+    ]
+    if latch:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 9, tile_h, tile_w),
+                lambda b, t, c: (b, 0, t // n_tile_x, t % n_tile_x),
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((bs, 9, image_size, image_size), jnp.float32)
+        )
+        if num_attrs:
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, num_attrs, tile_h, tile_w),
+                    lambda b, t, c: (b, 0, t // n_tile_x, t % n_tile_x),
                 )
-            return depth, index
-
-        def face_body(k, carry):
-            xyz = tuple(faces_ref[0, 0, j, k] for j in range(9))
-            x0, y0, _, x1, y1, _, x2, y2, _ = xyz
-            hit = ~(
-                ((x0 < tile_x_lo) & (x1 < tile_x_lo) & (x2 < tile_x_lo))
-                | ((tile_x_hi < x0) & (tile_x_hi < x1) & (tile_x_hi < x2))
-                | ((y0 < tile_y_lo) & (y1 < tile_y_lo) & (y2 < tile_y_lo))
-                | ((tile_y_hi < y0) & (tile_y_hi < y1) & (tile_y_hi < y2))
             )
-            return jax.lax.cond(
-                hit,
-                lambda carry: rasterize_face(carry, k, xyz),
-                lambda carry: carry,
-                carry,
+            out_shape.append(
+                jax.ShapeDtypeStruct(
+                    (bs, num_attrs, image_size, image_size), jnp.float32
+                )
             )
 
-        init = (depth_ref[0], index_ref[0])
-        depth, index = jax.lax.fori_loop(0, face_chunk, face_body, init)
-        depth_ref[0] = depth
-        index_ref[0] = index
+    kernel = functools.partial(
+        _binned_kernel,
+        image_size=float(image_size),
+        near=float(near),
+        far=float(far),
+        face_chunk=face_chunk,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        n_tile_x=n_tile_x,
+        row_window=row_window,
+        num_attrs=num_attrs,
+        latch=latch,
+    )
+
+    def wrapped(*refs):
+        refs = list(refs)
+        cnt_r = refs.pop(0)
+        ids_r = refs.pop(0)
+        faces_r = refs.pop(0)
+        attrs_r = refs.pop(0) if num_attrs else None
+        index_r = refs.pop(0)
+        depth_r = refs.pop(0)
+        coords_r = refs.pop(0) if latch else None
+        attr_out_r = refs.pop(0) if (latch and num_attrs) else None
+        kernel(cnt_r, ids_r, faces_r, attrs_r, index_r, depth_r,
+               coords_r, attr_out_r)
+
+    outs = pl.pallas_call(
+        wrapped,
+        grid=(bs, n_tiles, n_chunks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*inputs)
+    index = outs[0]
+    coords = outs[2] if latch else None
+    attr_map = outs[3] if (latch and num_attrs) else None
+    return index, coords, attr_map
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "image_size", "near", "far", "draw_backside", "face_chunk", "tile",
-        "interpret",
+        "row_window", "interpret",
     ),
 )
 def resolve_gather_pallas(
@@ -291,6 +472,7 @@ def resolve_gather_pallas(
     draw_backside=True,
     face_chunk=64,
     tile=None,
+    row_window=16,
     interpret=False,
 ):
     """Fused z-resolve + winner-attribute gather (forward only).
@@ -308,116 +490,16 @@ def resolve_gather_pallas(
     Gradients are wired up by ``ops.gather_resolve.resolve_and_gather``
     (scatter-add backward); this function itself is non-differentiable.
     """
-    bs, nf = face_vertices.shape[:2]
-    num_attrs = 0 if face_attrs is None else face_attrs.shape[-1]
-    if tile is None:
-        tile = (min(64, image_size), min(128, image_size))
-    tile_h, tile_w = tile
-    assert image_size % tile_h == 0 and image_size % tile_w == 0
-    n_tile_y = image_size // tile_h
-    n_tile_x = image_size // tile_w
-
-    pad = (-nf) % face_chunk
-    faces = face_vertices
-    if pad:
-        faces = jnp.concatenate([faces, jnp.zeros((bs, pad, 3, 3), faces.dtype)], 1)
-        if num_attrs:
-            face_attrs = jnp.concatenate(
-                [face_attrs, jnp.zeros((bs, pad, num_attrs), face_attrs.dtype)], 1
-            )
-    nf_p = nf + pad
-    n_chunks = nf_p // face_chunk
-
-    mask = _chunk_tile_mask(
-        faces, image_size, n_tile_y, n_tile_x, tile_h, tile_w, face_chunk
+    bs = face_vertices.shape[0]
+    index, coords, attr_map = _run_binned(
+        face_vertices, face_attrs, image_size, near, far, draw_backside,
+        face_chunk, tile, row_window, True, interpret,
     )
-    faces_cm = faces.reshape(bs, n_chunks, face_chunk, 9).transpose(0, 1, 3, 2)
-
-    kernel = functools.partial(
-        _resolve_gather_kernel,
-        image_size=float(image_size),
-        near=float(near),
-        far=float(far),
-        draw_backside=bool(draw_backside),
-        face_chunk=face_chunk,
-        tile_h=tile_h,
-        tile_w=tile_w,
-        num_attrs=num_attrs,
-    )
-    in_specs = [
-        pl.BlockSpec(
-            (1, 1, n_tile_x, n_chunks),
-            lambda b, ty, tx, c: (b, ty, 0, 0),
-            memory_space=pltpu.SMEM,
-        ),
-        pl.BlockSpec(
-            (1, 1, 9, face_chunk),
-            lambda b, ty, tx, c: (b, c, 0, 0),
-            memory_space=pltpu.SMEM,
-        ),
-    ]
-    inputs = [mask, faces_cm]
-    if num_attrs:
-        attrs_cm = face_attrs.reshape(bs, n_chunks, face_chunk, num_attrs)
-        attrs_cm = attrs_cm.transpose(0, 1, 3, 2)
-        in_specs.append(
-            pl.BlockSpec(
-                (1, 1, num_attrs, face_chunk),
-                lambda b, ty, tx, c: (b, c, 0, 0),
-                memory_space=pltpu.SMEM,
-            )
-        )
-        inputs.append(attrs_cm)
-
-    out_specs = [
-        pl.BlockSpec((1, tile_h, tile_w), lambda b, ty, tx, c: (b, ty, tx)),
-        pl.BlockSpec((1, 9, tile_h, tile_w), lambda b, ty, tx, c: (b, 0, ty, tx)),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((bs, image_size, image_size), jnp.int32),
-        jax.ShapeDtypeStruct((bs, 9, image_size, image_size), jnp.float32),
-    ]
-    if num_attrs:
-        out_specs.append(
-            pl.BlockSpec(
-                (1, num_attrs, tile_h, tile_w), lambda b, ty, tx, c: (b, 0, ty, tx)
-            )
-        )
-        out_shape.append(
-            jax.ShapeDtypeStruct((bs, num_attrs, image_size, image_size), jnp.float32)
-        )
-    out_specs.append(
-        pl.BlockSpec((1, tile_h, tile_w), lambda b, ty, tx, c: (b, ty, tx))
-    )
-    out_shape.append(
-        jax.ShapeDtypeStruct((bs, image_size, image_size), jnp.float32)
-    )
-
-    def wrapped_kernel(*refs):
-        if num_attrs:
-            mask_r, faces_r, attrs_r, index_r, coords_r, attr_out_r, depth_r = refs
-        else:
-            mask_r, faces_r, index_r, coords_r, depth_r = refs
-            attrs_r = attr_out_r = None
-        kernel(mask_r, faces_r, attrs_r, index_r, coords_r, attr_out_r, depth_r)
-
-    outs = pl.pallas_call(
-        wrapped_kernel,
-        grid=(bs, n_tile_y, n_tile_x, n_chunks),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(*inputs)
-
-    index = outs[0]
-    coords = outs[1]  # [bs, 9, H, W]
     face_vertex_map = coords.transpose(0, 2, 3, 1).reshape(
         bs, image_size, image_size, 3, 3
     )
-    attr_map = None
-    if num_attrs:
-        attr_map = outs[2].transpose(0, 2, 3, 1)
+    if attr_map is not None:
+        attr_map = attr_map.transpose(0, 2, 3, 1)
     return index, face_vertex_map, attr_map
 
 
@@ -562,50 +644,6 @@ def scatter_to_faces_pallas(
     return out[:, :num_faces]
 
 
-def _chunk_tile_mask(faces, image_size, n_tile_y, n_tile_x, tile_h, tile_w, face_chunk):
-    """[bs, n_tile_y, n_tile_x, n_chunks] int32: does any face in the chunk's
-    bbox union intersect the tile?  Pure XLA, O(nf * n_tiles) cheap ops."""
-    bs, nf = faces.shape[:2]
-    x = faces[..., 0]  # [bs, nf, 3]
-    y = faces[..., 1]
-    # face bboxes in pixel coords: xp = (2*xi + 1 - S)/S  =>  xi = (xp*S + S - 1)/2
-    def to_pix(v):
-        return (v * image_size + image_size - 1.0) * 0.5
-
-    fx_min = to_pix(jnp.min(x, -1))
-    fx_max = to_pix(jnp.max(x, -1))
-    fy_min = to_pix(jnp.min(y, -1))
-    fy_max = to_pix(jnp.max(y, -1))
-
-    n_chunks = nf // face_chunk
-
-    def chunk_reduce(v, op):
-        return op(v.reshape(bs, n_chunks, face_chunk), axis=-1)
-
-    cx_min = chunk_reduce(fx_min, jnp.min)
-    cx_max = chunk_reduce(fx_max, jnp.max)
-    cy_min = chunk_reduce(fy_min, jnp.min)
-    cy_max = chunk_reduce(fy_max, jnp.max)
-    # NOTE: the union bbox of a chunk also covers any degenerate padding
-    # faces at (0,...,0), but those are rejected per-pixel anyway.
-
-    ty0 = jnp.arange(n_tile_y, dtype=jnp.float32)[None, :, None] * tile_h  # [1,T,1]
-    tx0 = jnp.arange(n_tile_x, dtype=jnp.float32)[None, :, None] * tile_w
-
-    # conservative overlap (margin 1px): chunk bbox vs tile [t0, t0+tile-1]
-    y_ov = (cy_max[:, None, :] >= ty0 - 1.0) & (cy_min[:, None, :] <= ty0 + tile_h)
-    x_ov = (cx_max[:, None, :] >= tx0 - 1.0) & (cx_min[:, None, :] <= tx0 + tile_w)
-    mask = y_ov[:, :, None, :] & x_ov[:, None, :, :]  # [bs, Ty, Tx, C]
-    return mask.astype(jnp.int32)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "image_size", "near", "far", "draw_backside", "face_chunk", "tile",
-        "interpret",
-    ),
-)
 def compute_face_index_map_pallas(
     faces,
     image_size,
@@ -614,74 +652,29 @@ def compute_face_index_map_pallas(
     draw_backside=True,
     face_chunk=64,
     tile=None,
+    row_window=16,
     interpret=False,
 ):
     """Per-pixel z-buffered visible-face id (Pallas TPU kernel).
 
     Args:
       faces: [bs, nf, 3, 3] float32 NDC face vertices.
-      tile: (tile_h, tile_w) pixel tile; default 128x128 (or the image).
+      tile: (tile_h, tile_w) pixel tile; defaults tuned on v5e.
 
     Returns int32 [bs, image_size, image_size]; -1 = background.
     Bit-identical semantics to ``resolve.compute_face_index_map``.
     """
-    bs, nf = faces.shape[:2]
-    if tile is None:
-        # tuned on v5e (teapot @512: 1.9ms vs 8.3ms for the XLA scan)
-        tile = (min(64, image_size), min(128, image_size))
-    tile_h, tile_w = tile
-    assert image_size % tile_h == 0 and image_size % tile_w == 0
-    n_tile_y = image_size // tile_h
-    n_tile_x = image_size // tile_w
-
-    pad = (-nf) % face_chunk
-    if pad:
-        faces = jnp.concatenate([faces, jnp.zeros((bs, pad, 3, 3), faces.dtype)], 1)
-    nf_p = nf + pad
-    n_chunks = nf_p // face_chunk
-
-    mask = _chunk_tile_mask(
-        faces, image_size, n_tile_y, n_tile_x, tile_h, tile_w, face_chunk
+    index, _, _ = _run_binned(
+        faces, None, image_size, near, far, draw_backside,
+        face_chunk, tile, row_window, False, interpret,
     )
-
-    # coord-major chunk layout for cheap SMEM scalar reads:
-    # [bs, n_chunks, 9, K]
-    faces_cm = faces.reshape(bs, n_chunks, face_chunk, 9).transpose(0, 1, 3, 2)
-
-    kernel = functools.partial(
-        _resolve_kernel,
-        image_size=float(image_size),
-        near=float(near),
-        far=float(far),
-        draw_backside=bool(draw_backside),
-        face_chunk=face_chunk,
-        tile_h=tile_h,
-        tile_w=tile_w,
-    )
-
-    index, _depth = pl.pallas_call(
-        kernel,
-        grid=(bs, n_tile_y, n_tile_x, n_chunks),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, n_tile_x, n_chunks),
-                lambda b, ty, tx, c: (b, ty, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, 9, face_chunk),
-                lambda b, ty, tx, c: (b, c, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, tile_h, tile_w), lambda b, ty, tx, c: (b, ty, tx)),
-            pl.BlockSpec((1, tile_h, tile_w), lambda b, ty, tx, c: (b, ty, tx)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bs, image_size, image_size), jnp.int32),
-            jax.ShapeDtypeStruct((bs, image_size, image_size), jnp.float32),
-        ],
-        interpret=interpret,
-    )(mask, faces_cm)
     return index
+
+
+compute_face_index_map_pallas = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "image_size", "near", "far", "draw_backside", "face_chunk", "tile",
+        "row_window", "interpret",
+    ),
+)(compute_face_index_map_pallas)
