@@ -104,6 +104,7 @@ def compute_channel_maps(
     render_size,
     row_start=0,
     num_rows=None,
+    face_axis=None,
 ):
     """Rasterize the requested channels for a horizontal row window.
 
@@ -139,7 +140,7 @@ def compute_channel_maps(
         normals = shading.face_vertex_normals(vertices, face_indices, face_vertices)
 
     backend = _resolve_backend(hp.backend)
-    if num_rows == render_size:
+    if num_rows == render_size and face_axis is None:
         # fused resolve + winner-attribute gather: the winning face's
         # vertex coords / UVs / normals come straight out of the resolve
         # (Pallas: vector selects in the face stream; XLA: one to_map),
@@ -167,12 +168,23 @@ def compute_channel_maps(
                 bs, num_rows, render_size, 3, 3
             )
     else:
-        # row-window path (image-tile sharding): XLA resolve + to_map
-        face_index_map = compute_face_index_map(
-            jax.lax.stop_gradient(face_vertices),
-            render_size, hp.near, hp.far, hp.draw_backside, hp.face_chunk,
-            row_start=row_start, num_rows=num_rows,
-        )
+        # row-window / face-sharded path (image-tile or face sharding,
+        # parallel/): XLA resolve + to_map gathers
+        if face_axis is not None:
+            from ..parallel.faces import compute_face_index_map_face_sharded
+
+            face_index_map = compute_face_index_map_face_sharded(
+                jax.lax.stop_gradient(face_vertices),
+                render_size, hp.near, hp.far, hp.draw_backside,
+                hp.face_chunk, row_start=row_start, num_rows=num_rows,
+                axis=face_axis,
+            )
+        else:
+            face_index_map = compute_face_index_map(
+                jax.lax.stop_gradient(face_vertices),
+                render_size, hp.near, hp.far, hp.draw_backside, hp.face_chunk,
+                row_start=row_start, num_rows=num_rows,
+            )
         from .maps import to_map
 
         face_vertex_map = to_map(face_vertices, face_index_map)

@@ -131,6 +131,7 @@ def _face_candidates(face_chunk, xp, yp, near, far, draw_backside):
     jax.jit,
     static_argnames=(
         "image_size", "near", "far", "draw_backside", "face_chunk", "num_rows",
+        "return_depth",
     ),
 )
 def compute_face_index_map(
@@ -142,6 +143,7 @@ def compute_face_index_map(
     face_chunk=16,
     row_start=0,
     num_rows=None,
+    return_depth=False,
 ):
     """Per-pixel z-buffered visible-face id.
 
@@ -149,9 +151,13 @@ def compute_face_index_map(
       faces: [bs, nf, 3, 3] float32 gathered face vertices in NDC.
       row_start/num_rows: optional row window (for image-tile sharding);
         defaults to the full image.
+      return_depth: also return the winning depths [bs, num_rows, W]
+        (``far`` on background) -- the cross-shard combine operand for
+        face-sharded rendering (parallel/faces.py).
 
     Returns:
       int32 [bs, num_rows, image_size]; -1 = background.
+      (index, depth) when ``return_depth``.
 
     Non-differentiable by construction (integer output), matching the
     reference FaceIndexMap op (rasterize.py:14-57).
@@ -188,7 +194,9 @@ def compute_face_index_map(
         return (depth, index), None
 
     chunk_ids = jnp.arange(n_chunks, dtype=jnp.int32)
-    (_, index), _ = jax.lax.scan(scan_chunk, (depth0, index0), (chunk_ids, chunked))
+    (depth, index), _ = jax.lax.scan(scan_chunk, (depth0, index0), (chunk_ids, chunked))
+    if return_depth:
+        return index, depth
     return index
 
 

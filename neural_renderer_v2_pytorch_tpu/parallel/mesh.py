@@ -21,23 +21,29 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def make_mesh(data=1, tile=None, devices=None):
-    """Build a (data, tile) mesh.
+def make_mesh(data=1, tile=None, face=1, devices=None):
+    """Build a (data, tile[, face]) mesh.
 
     Args:
       data: size of the data-parallel axis.
       tile: size of the image-tile axis; default = remaining devices.
+      face: size of the face-sharding axis (parallel/faces.py); when > 1
+        the mesh has a third "face" axis and the resolve's face loop is
+        distributed with an ordered z-combine.
       devices: explicit device list; default all local devices.
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if tile is None:
-        assert n % data == 0, (n, data)
-        tile = n // data
-    assert data * tile <= n, (data, tile, n)
-    devs = np.asarray(devices[: data * tile]).reshape(data, tile)
-    return Mesh(devs, axis_names=("data", "tile"))
+        assert n % (data * face) == 0, (n, data, face)
+        tile = n // (data * face)
+    assert data * tile * face <= n, (data, tile, face, n)
+    if face == 1:
+        devs = np.asarray(devices[: data * tile]).reshape(data, tile)
+        return Mesh(devs, axis_names=("data", "tile"))
+    devs = np.asarray(devices[: data * tile * face]).reshape(data, tile, face)
+    return Mesh(devs, axis_names=("data", "tile", "face"))
 
 
 def auto_mesh(n_devices=None):

@@ -69,9 +69,11 @@ def rasterize_core_sharded(vertices, faces, params, hyperparams, mesh):
     render_size = hp.image_size * 2 if hp.anti_aliasing else hp.image_size
     n_tile = mesh.shape["tile"]
     n_data = mesh.shape["data"]
+    n_face = dict(mesh.shape).get("face", 1)
     assert bs % n_data == 0, (bs, n_data)
     assert render_size % n_tile == 0, (render_size, n_tile)
     rows = render_size // n_tile
+    face_axis = "face" if n_face > 1 else None
 
     def local_fn(vertices, faces, vt, ft, tex, lights):
         p = RasterizeParam(
@@ -80,7 +82,8 @@ def rasterize_core_sharded(vertices, faces, params, hyperparams, mesh):
         )
         row_start = jax.lax.axis_index("tile") * rows
         return compute_channel_maps(
-            vertices, faces, p, hp, render_size, row_start=row_start, num_rows=rows
+            vertices, faces, p, hp, render_size, row_start=row_start,
+            num_rows=rows, face_axis=face_axis,
         )
 
     lights = params.lights

@@ -113,6 +113,64 @@ def test_sharded_textured_with_lights(transformed_batch, teapot):
     np.testing.assert_allclose(g_sh, g_si, atol=1e-4 * scale)
 
 
+def test_face_sharded_silhouette_matches_single(transformed_batch):
+    """(data=2, tile=2, face=2): the resolve's face loop distributed with
+    the ordered z-combine must reproduce the single-device image (the
+    teapot has no cross-shard depth ties within the 1e-4 band)."""
+    tv, f = transformed_batch
+    mesh = make_mesh(data=2, tile=2, face=2)
+    hp = RasterizeHyperparam(image_size=128, anti_aliasing=False)
+    sharded = np.asarray(rasterize_silhouettes_sharded(tv, f, None, hp, mesh=mesh))
+    single = np.asarray(rasterize_silhouettes(tv, f, None, hp))
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_face_only_sharding_textured(transformed_batch, teapot):
+    """face=8: textured RGB forward + texture gradients under pure face
+    sharding match the single-device pipeline."""
+    tv, f = transformed_batch
+    _, faces_np = teapot
+    vt, ft, tex = nr.create_textures(faces_np.shape[0], texture_size=2)
+    bs = 2
+    params = RasterizeParam(
+        vertices_textures=jnp.asarray(np.tile(vt[None], (bs, 1, 1))),
+        faces_textures=jnp.asarray(ft),
+        textures=jnp.asarray(np.tile(tex[None], (bs, 1, 1, 1))),
+    )
+    hp = RasterizeHyperparam(image_size=64, anti_aliasing=False)
+    mesh = make_mesh(data=1, tile=1, face=8)
+    sharded = np.asarray(rasterize_rgb_sharded(tv, f, params, hp, mesh=mesh))
+    single = np.asarray(rasterize_rgb(tv, f, params, hp))
+    np.testing.assert_allclose(sharded, single, atol=3e-5)
+
+    def loss_sharded(textures):
+        p = params.replace(textures=textures)
+        return jnp.sum(rasterize_rgb_sharded(tv, f, p, hp, mesh=mesh) ** 2)
+
+    def loss_single(textures):
+        p = params.replace(textures=textures)
+        return jnp.sum(rasterize_rgb(tv, f, p, hp) ** 2)
+
+    g_sh = np.asarray(jax.grad(loss_sharded)(params.textures))
+    g_si = np.asarray(jax.grad(loss_single)(params.textures))
+    scale = max(np.abs(g_si).max(), 1e-6)
+    np.testing.assert_allclose(g_sh, g_si, atol=1e-4 * scale)
+
+
+def test_ordered_z_combine_tolerance_band():
+    """The shard fold applies the reference's 1e-4 accept rule: a later
+    shard's winner within the band does NOT displace the earlier one."""
+    from neural_renderer_v2_pytorch_tpu.parallel.faces import ordered_z_combine
+
+    depths = jnp.asarray(
+        [[1.0, 1.0], [1.0 - 5e-5, 0.5]], jnp.float32
+    )  # shard 1 is within the band at pixel 0, clearly closer at pixel 1
+    indices = jnp.asarray([[7, 7], [9, 9]], jnp.int32)
+    d, i = ordered_z_combine((depths, indices))
+    np.testing.assert_array_equal(np.asarray(i), [7, 9])
+    np.testing.assert_allclose(np.asarray(d), [1.0, 0.5])
+
+
 def test_tile_only_mesh_batch1(teapot):
     v, f = teapot
     renderer = nr.Renderer()
