@@ -53,6 +53,7 @@ def run():
 
     renderer = nr.Renderer()
     renderer.perspective = False  # orthographic (example3.py:40)
+    renderer.texture_size = 4     # create_textures tiling -> gather-free sampling
 
     def render_rgb(texture_param, viewpoint):
         renderer.viewpoints = viewpoint

@@ -47,6 +47,10 @@ class Renderer(object):
         # TPU knobs
         self.backend = "auto"      # 'auto' | 'xla' | 'pallas'
         self.face_chunk = 16
+        # set to the create_textures texture_size to enable the
+        # gather-free per-face-patch sampling fast path (leave None for
+        # arbitrary loaded atlases)
+        self.texture_size = None
 
     def transform_vertices(self, vertices, lights=None):
         """Viewpoint + perspective transform (renderer.py:24-35)."""
@@ -87,6 +91,7 @@ class Renderer(object):
             background_color=self.background_color,
             backgrounds=backgrounds,
             lights=tuple(lights) if lights else None,
+            texture_size=self.texture_size,
         )
         return rasterize_rgba(vertices, faces, params, self._hyperparams())
 
@@ -99,6 +104,7 @@ class Renderer(object):
             background_color=self.background_color,
             backgrounds=backgrounds,
             lights=tuple(lights) if lights else None,
+            texture_size=self.texture_size,
         )
         return rasterize_rgb(vertices, faces, params, self._hyperparams())
 

@@ -79,6 +79,13 @@ class RasterizeParam:
     background_color: Optional[Any] = flax.struct.field(
         pytree_node=False, default=None
     )
+    # When set, ``textures`` is a create_textures-style per-face tiled
+    # atlas with this texture_size: sampling switches to the gather-free
+    # latched-texel fast path (ops/shading.py sample_textures_from_texels).
+    # Leave None for arbitrary (loaded) atlases.
+    texture_size: Optional[int] = flax.struct.field(
+        pytree_node=False, default=None
+    )
     backgrounds: Optional[jnp.ndarray] = None        # [bs, 3, H, W]
     lights: Optional[Tuple[Any, ...]] = None         # tuple of Light pytrees
 
@@ -138,6 +145,11 @@ def compute_channel_maps(
     normals = None
     if hp.draw_rgb and params.lights:
         normals = shading.face_vertex_normals(vertices, face_indices, face_vertices)
+    texel_attrs = None
+    if hp.draw_rgb and params.texture_size is not None:
+        texel_attrs = shading.face_texel_attrs(
+            params.textures, nf, params.texture_size
+        )  # [bs, nf, ts*ts*3]
 
     backend = _resolve_backend(hp.backend)
     if num_rows == render_size and face_axis is None:
@@ -152,6 +164,8 @@ def compute_channel_maps(
             attrs.append(faces_textures.reshape(bs, nf, 6))
         if normals is not None:
             attrs.append(normals.reshape(bs, nf, 9))
+        if texel_attrs is not None:
+            attrs.append(texel_attrs)
         face_attrs = jnp.concatenate(attrs, -1) if attrs else None
         face_index_map, face_vertex_map, attr_map = resolve_and_gather(
             face_vertices, face_attrs, render_size, hp.near, hp.far,
@@ -159,6 +173,7 @@ def compute_channel_maps(
         )
         uv_map = None
         normal_vertex_map = None
+        texel_map = None
         off = 0
         if faces_textures is not None:
             uv_map = attr_map[..., :6].reshape(bs, num_rows, render_size, 3, 2)
@@ -167,6 +182,9 @@ def compute_channel_maps(
             normal_vertex_map = attr_map[..., off : off + 9].reshape(
                 bs, num_rows, render_size, 3, 3
             )
+            off += 9
+        if texel_attrs is not None:
+            texel_map = attr_map[..., off:]
     else:
         # row-window / face-sharded path (image-tile or face sharding,
         # parallel/): XLA resolve + to_map gathers
@@ -195,6 +213,10 @@ def compute_channel_maps(
         normal_vertex_map = (
             to_map(normals, face_index_map) if normals is not None else None
         )
+        texel_map = (
+            to_map(texel_attrs, face_index_map)
+            if texel_attrs is not None else None
+        )
 
     from .resolve import weight_map_from_gathered
 
@@ -207,10 +229,18 @@ def compute_channel_maps(
 
     rgb_map = None
     if hp.draw_rgb:
-        rgb_map = shading.sample_textures_from(
-            face_vertex_map[..., 2], uv_map, params.textures,
-            face_index_map, weight_map, hp.eps,
-        )
+        if texel_map is not None:
+            ts = params.texture_size
+            rgb_map = shading.sample_textures_from_texels(
+                face_vertex_map[..., 2], uv_map, texel_map,
+                face_index_map, weight_map, hp.eps, ts,
+                params.textures.shape[3] // ts,
+            )
+        else:
+            rgb_map = shading.sample_textures_from(
+                face_vertex_map[..., 2], uv_map, params.textures,
+                face_index_map, weight_map, hp.eps,
+            )
         if params.lights:
             normal_map = shading.normal_map_from_gathered(
                 normal_vertex_map, weight_map

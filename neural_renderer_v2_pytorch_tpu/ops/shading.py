@@ -120,6 +120,98 @@ def sample_textures_from(
     return mask_foreground(images, face_index_map)
 
 
+def face_texel_attrs(textures, num_faces, texture_size):
+    """Per-face texel patches from a ``create_textures``-style tiled atlas.
+
+    The atlas [bs, 3, th*ts, tw*ts] assigns face f the ts x ts patch at
+    grid cell (f // tw, f % tw) (utils/helpers.py create_textures,
+    reference utils.py:30-52).  Returns [bs, nf, ts*ts*3] with texel
+    t = y_local*ts + x_local, channel-minor -- the attribute layout
+    consumed by :func:`sample_textures_from_texels`.  Pure reshape /
+    transpose / slice, so texture gradients flow straight through.
+    """
+    bs = textures.shape[0]
+    ts = texture_size
+    th = textures.shape[2] // ts
+    tw = textures.shape[3] // ts
+    t = textures.reshape(bs, 3, th, ts, tw, ts)
+    t = t.transpose(0, 2, 4, 3, 5, 1)            # [bs, th, tw, ts_y, ts_x, 3]
+    t = t.reshape(bs, th * tw, ts * ts * 3)
+    return t[:, :num_faces]
+
+
+def sample_textures_from_texels(
+    faces_z_map, vertices_textures_map, texel_map, face_index_map,
+    weight_map, eps, texture_size, tile_width,
+):
+    """Gather-free texture sampling from per-face latched texel patches.
+
+    Same math as :func:`sample_textures_from` (perspective-correct UV,
+    bbox-eps clamp, bilinear 4-tap -- reference rasterize.py:100-153), but
+    the 4 taps are selected from the winning face's OWN ts x ts texel
+    patch (``texel_map`` [bs, H, W, ts*ts*3], latched by the fused
+    resolve) instead of gathered from the atlas.  This is exact because
+    the reference clamps UVs into the face's uv-bbox minus eps
+    (rasterize.py:120-121), which for a tiled per-face atlas pins all
+    four taps inside the face's patch.  Eliminates the 4 per-pixel atlas
+    gathers (~2 ms each at 512^2 on v5e; the selects are elementwise).
+    """
+    batch_size, H, W = face_index_map.shape
+    ts = texture_size
+
+    depth_map = 1.0 / jnp.sum(weight_map / (faces_z_map + 1e-10) + 1e-10, axis=-1)
+    vtm_original = vertices_textures_map
+    vtm = jnp.sum(
+        weight_map[..., None] * vertices_textures_map / (faces_z_map[..., None] + 1e-10),
+        axis=-2,
+    )
+    vtm = vtm * depth_map[..., None]
+    vtm = jnp.maximum(vtm, jnp.min(vtm_original, axis=-2))
+    vtm = jnp.minimum(vtm, jnp.max(vtm_original, axis=-2) - eps)
+    vtm = mask_foreground(vtm, face_index_map)
+
+    # patch-local texel coordinates of the winning face
+    fid = jnp.maximum(face_index_map, 0)
+    x_org = ((fid % tile_width) * ts).astype(jnp.float32)
+    y_org = ((fid // tile_width) * ts).astype(jnp.float32)
+    x_f = vtm[..., 0] - x_org
+    y_f = vtm[..., 1] - y_org
+    x_f_f = jnp.floor(x_f)
+    y_f_f = jnp.floor(y_f)
+    x_c_f = x_f_f + 1
+    y_c_f = y_f_f + 1
+    w1 = (y_c_f - y_f) * (x_c_f - x_f)
+    w2 = (y_c_f - y_f) * (x_f - x_f_f)
+    w3 = (y_f - y_f_f) * (x_c_f - x_f)
+    w4 = (y_f - y_f_f) * (x_f - x_f_f)
+
+    texels = texel_map.reshape(batch_size, H, W, ts * ts, 3)
+    if ts == 2:
+        # the clamp pins local coords to [0, 1 - eps]: floor = 0, ceil = 1,
+        # so the taps ARE the four patch texels -- no selection needed
+        t1, t2, t3, t4 = (texels[..., t, :] for t in range(4))
+    else:
+        # taps are in [0, ts-1]; ceil may weight 0 at the bbox edge --
+        # clip keeps it in the patch (its weight is exactly 0 there)
+        xi_f = jnp.clip(x_f_f.astype(jnp.int32), 0, ts - 1)
+        yi_f = jnp.clip(y_f_f.astype(jnp.int32), 0, ts - 1)
+        xi_c = jnp.clip(xi_f + 1, 0, ts - 1)
+        yi_c = jnp.clip(yi_f + 1, 0, ts - 1)
+        t_ids = jnp.arange(ts * ts, dtype=jnp.int32)
+
+        def tap(xi, yi):
+            sel = (yi * ts + xi)[..., None] == t_ids            # [bs,H,W,ts^2]
+            return jnp.sum(sel[..., None] * texels, axis=-2)
+
+        t1, t2, t3, t4 = tap(xi_f, yi_f), tap(xi_c, yi_f), tap(xi_f, yi_c), tap(xi_c, yi_c)
+
+    images = (
+        w1[..., None] * t1 + w2[..., None] * t2
+        + w3[..., None] * t3 + w4[..., None] * t4
+    )
+    return mask_foreground(images, face_index_map)
+
+
 def sample_textures(faces, faces_textures, textures, face_index_map, weight_map, eps):
     """Gather-based variant: gathers the per-pixel z / UV maps with
     ``to_map`` first (the reference's structure, rasterize.py:100-153)."""

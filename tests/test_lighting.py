@@ -82,3 +82,49 @@ def test_background_color_blend():
     # foreground (white texture, no lights) stays 1
     center = img[img.shape[0] // 2 + 8, img.shape[1] // 2]
     np.testing.assert_allclose(center, [1.0, 1.0, 1.0], atol=1e-6)
+
+
+def test_texel_fast_path_matches_gather_sampling(reference_data):
+    """The latched-texel sampler (texture_size set) must reproduce the
+    general atlas-gather sampler on create_textures-style atlases, for
+    both values and texture gradients, at ts=2 and ts=4."""
+    import jax
+
+    vertices, faces = nr.load_obj(str(reference_data / "teapot.obj"))
+    renderer = nr.Renderer()
+    renderer.viewpoints = nr.get_points_from_angles(2.732, 30, 45)
+    tv = renderer.transform_vertices(jnp.asarray(vertices[None]))
+    F = jnp.asarray(faces)
+
+    rng = np.random.RandomState(3)
+    for ts in (2, 4):
+        vt, ft, tex = nr.create_textures(faces.shape[0], texture_size=ts)
+        tex = rng.rand(*tex.shape).astype("float32")
+        base = dict(
+            vertices_textures=jnp.asarray(vt[None]),
+            faces_textures=jnp.asarray(ft),
+            textures=jnp.asarray(tex[None]),
+        )
+        hp = RasterizeHyperparam(image_size=64, anti_aliasing=False)
+        slow = rasterize_rgb(tv, F, RasterizeParam(**base), hp)
+        fast = rasterize_rgb(
+            tv, F, RasterizeParam(**base, texture_size=ts), hp
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(slow), atol=1e-5,
+            err_msg="ts=%d forward" % ts,
+        )
+
+        def loss(textures, fastpath):
+            p = RasterizeParam(
+                **{**base, "textures": textures},
+                texture_size=ts if fastpath else None,
+            )
+            return jnp.sum(rasterize_rgb(tv, F, p, hp) ** 2)
+
+        g_slow = np.asarray(jax.grad(loss)(base["textures"], False))
+        g_fast = np.asarray(jax.grad(loss)(base["textures"], True))
+        scale = max(np.abs(g_slow).max(), 1e-6)
+        np.testing.assert_allclose(
+            g_fast, g_slow, atol=1e-5 * scale, err_msg="ts=%d grad" % ts
+        )
