@@ -318,8 +318,15 @@ def _run_binned(
     bs, nf = face_vertices.shape[:2]
     num_attrs = 0 if face_attrs is None else face_attrs.shape[-1]
     if tile is None:
-        th = 256 if (latch and num_attrs) else 512
-        tile = (min(th, image_size), min(128, image_size))
+        # pick the tallest tile whose resident planes (index + depth +
+        # latched coords/attrs) fit VMEM with buffering headroom
+        planes = 2 + ((9 + num_attrs) if latch else 0)
+        tw = min(128, image_size)
+        budget = 10 * 1024 * 1024
+        th = 512
+        while th > 8 and planes * th * tw * 4 * 2 > budget:
+            th //= 2
+        tile = (min(th, image_size), tw)
     tile_h, tile_w = tile
     row_window = min(row_window, tile_h)
     assert image_size % tile_h == 0 and image_size % tile_w == 0
