@@ -38,10 +38,12 @@ def main():
 
     vertices, faces = nr.load_obj(obj)
     vertices = jnp.asarray(np.tile(vertices[None], (batch_size, 1, 1)))
-    faces = jnp.asarray(faces)
-    eye = jnp.asarray(
-        np.array(nr.get_points_from_angles(2.732, 30, 0), "float32")
-    )
+    # NOTE: faces/eye stay NUMPY on purpose -- closure-capturing a jnp
+    # DEVICE array into a jit permanently adds ~29 ms of per-execution
+    # overhead process-wide on tunneled (axon) backends; numpy closures
+    # bake into the executable as constants and are free.
+    faces = np.asarray(faces)
+    eye = np.array(nr.get_points_from_angles(2.732, 30, 0), "float32")
     hp = RasterizeHyperparam(image_size=image_size)  # AA on (defaults)
 
     def loss_fn(vertices):
@@ -50,23 +52,46 @@ def main():
         # IoU-style scalar so the full NMR backward runs
         return jnp.sum(images * images) / (jnp.sum(images) + 1.0)
 
-    @jax.jit
-    def step(vertices):
-        loss, grad = jax.value_and_grad(loss_fn)(vertices)
-        # a genuine (tiny-lr) gradient-descent update chains every
-        # iteration's input to the previous output, so no caching layer
-        # between host and device can elide or overlap the work
-        return vertices - 1e-6 * grad, loss
-
-    vertices, loss = step(vertices)  # warm up (compile)
-    jax.block_until_ready((vertices, loss))
-
     n_iters = int(os.environ.get("NR_BENCH_ITERS", "50"))
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        vertices, loss = step(vertices)
-    jax.block_until_ready((vertices, loss))
-    elapsed = time.perf_counter() - t0
+
+    def make_chain(n):
+        # a genuine (tiny-lr) gradient-descent update chains every
+        # iteration's input to the previous output, so the steps execute
+        # strictly sequentially on device; running the chain inside one
+        # program (lax.scan) measures device throughput rather than the
+        # host/tunnel dispatch path
+        @jax.jit
+        def run(vertices):
+            def step(vertices, _):
+                loss, grad = jax.value_and_grad(loss_fn)(vertices)
+                return vertices - 1e-6 * grad, loss
+            return jax.lax.scan(step, vertices, None, length=n)
+        return run
+
+    def time_chain(n):
+        run = make_chain(n)
+        # warm/compile on a DIFFERENT input than the timed call: tunneled
+        # device runtimes may dedup repeat executions of an identical
+        # (executable, inputs) pair
+        out = run(vertices + jnp.float32(1e-5))
+        jax.block_until_ready(out)
+        _ = float(out[1][-1])
+        best = float("inf")
+        for rep in range(3):
+            v_in = vertices + jnp.float32(1e-6 * rep)
+            jax.block_until_ready(v_in)
+            t0 = time.perf_counter()
+            out = run(v_in)
+            jax.block_until_ready(out)
+            _ = float(out[1][-1])  # force materialization through the tunnel
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # N-differencing cancels the fixed dispatch/fetch overhead of the
+    # tunnel (which can exceed the device time itself)
+    t1 = time_chain(n_iters)
+    t2 = time_chain(2 * n_iters)
+    elapsed = max(t2 - t1, 1e-9)
 
     pixels_per_s = batch_size * image_size * image_size * n_iters / elapsed
 

@@ -88,7 +88,12 @@ def run():
 
     def rgb_fwd(vertices, tex, eye):
         tv = perspective(look_at(vertices, eye), angle=30.0)
-        p = RasterizeParam(vertices_textures=vt, faces_textures=ft, textures=tex)
+        # create_textures atlas -> the gather-free per-face-patch sampler
+        # (and its face-scatter texture backward) applies
+        p = RasterizeParam(
+            vertices_textures=vt, faces_textures=ft, textures=tex,
+            texture_size=args.texture_size,
+        )
         return rasterize_rgb(tv, faces, p, hp)
 
     def rgb_loss(vertices, tex, eye):

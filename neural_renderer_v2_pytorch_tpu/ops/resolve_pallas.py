@@ -1,34 +1,44 @@
-"""Pallas TPU kernel for the face-index (z-buffer) resolve.
+"""Pallas TPU kernels for the face-index (z-buffer) resolve and its
+gradient scatter.
 
-This is the TPU-native replacement for the reference's hot CUDA kernel
+TPU-native replacement for the reference's hot CUDA kernel
 ``face_index_map_forward_safe`` (rasterize_cuda_kernel.cu:52-153).
 
-Design
-------
-The CUDA kernel is thread-per-pixel, each thread looping over ALL faces.
-On TPU we keep pixels as the vector axis but add two things the GPU
-version lacks: *image tiling* and *face-chunk culling*.
+Design (binned rasterizer)
+--------------------------
+The CUDA kernel is thread-per-pixel, each thread brute-force looping over
+ALL faces.  Here the work is organized around what the TPU is good at --
+wide vector ops over pixel rows, scalar-core bookkeeping, predictable
+DMA -- and around not doing O(pixels x faces) work at all:
 
-  grid = (bs, n_tile_y, n_tile_x, n_face_chunks)     # chunks innermost
+  1. A pure-XLA prepass (``_bin_faces``) bins faces per image tile by
+     their bboxes (order-stable compaction, so the reference's sequential
+     z-accept order within a tile is preserved) and drops degenerate /
+     culled-backface faces once, instead of per pixel.
+  2. ``_binned_kernel`` runs on a grid (batch, tile, face-chunk) with the
+     chunk axis innermost: the per-tile (depth, index[, latched attrs])
+     accumulators stay VMEM-resident while the tile's face list streams
+     through SMEM.  The chunk loop runs exactly ``count`` iterations (no
+     per-face branching), and every face touches only the 8-aligned
+     ``row_window``-row slabs covering its pixel rows -- a ~15 px face
+     pays for a (16, 128) vector window, not a whole tile.
+  3. Per-face math is precomputed on the scalar core (``_face_scalars``):
+     all per-pixel quantities are affine in the pixel coords, the
+     reference's c1/c2/c3 inside tests are identically the scaled
+     barycentrics w2/w0/w1, and w0+w1+w2 is the per-face determinant,
+     leaving ~30 VPU ops + 1 divide per face-window (``_face_accept``).
+  4. The fused gather variant latches the winning face's vertex coords
+     and auxiliary attributes (UVs, normals, texel patches) via masked
+     stores -- replacing the reference's per-pixel ``to_map`` gathers
+     (utils.py:104-114).
+  5. The backward scatter (``scatter_to_faces_pallas``) turns the
+     pixel->face gradient segment-sum into predicated one-hot MXU matmuls
+     with the whole per-face accumulator VMEM-resident.
 
-  * Each (b, ty, tx) owns a TILE_H x TILE_W pixel tile whose running
-    (depth_min, face_index) accumulators stay resident in VMEM across all
-    face-chunk grid steps (the chunk axis is innermost and the output
-    index_map ignores it -- the standard TPU accumulation pattern).
-  * Face chunks stream through SMEM in face order; within a chunk a
-    ``fori_loop`` applies the CUDA kernel's exact sequential accept rule
-    ``zp <= depth_min - 1e-4`` face by face, so the order-dependent
-    tie-break matches the reference bit-for-bit.
-  * A host-side precomputed [bs, n_tile_y, n_tile_x, n_chunks] overlap
-    mask lets the kernel skip whole chunks whose union bbox misses the
-    tile (``@pl.when``) -- the TPU equivalent of the per-pixel bbox
-    reject, but amortized over 128x128 pixels at once.  The reference has
-    no tiling at all (SURVEY.md section 5: O(H*W*F) with every face
-    re-read per pixel).
-
-Culling never changes results: a skipped chunk contains no face whose
-bbox intersects any pixel of the tile, and the sequential accept order of
-the remaining faces is preserved.
+Binning never changes results: a face outside a tile's bin cannot win any
+of its pixels, and compaction preserves face-id order; the kernel output
+is bit-identical to the XLA reference resolve (``resolve.py``), which
+mirrors the same formulas.
 """
 
 from __future__ import annotations
@@ -477,7 +487,7 @@ def resolve_gather_pallas(
     near=0.1,
     far=100.0,
     draw_backside=True,
-    face_chunk=64,
+    face_chunk=256,
     tile=None,
     row_window=16,
     interpret=False,
@@ -657,7 +667,7 @@ def compute_face_index_map_pallas(
     near=0.1,
     far=100.0,
     draw_backside=True,
-    face_chunk=64,
+    face_chunk=256,
     tile=None,
     row_window=16,
     interpret=False,
