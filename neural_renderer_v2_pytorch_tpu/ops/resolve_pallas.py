@@ -22,7 +22,7 @@ DMA -- and around not doing O(pixels x faces) work at all:
      per-face branching), and every face touches only the 8-aligned
      ``row_window``-row slabs covering its pixel rows -- a ~15 px face
      pays for a (16, 128) vector window, not a whole tile.
-  3. Per-face math is precomputed on the scalar core (``_face_scalars``):
+  3. Per-face math is precomputed on the scalar core (``_face_constants``):
      all per-pixel quantities are affine in the pixel coords, the
      reference's c1/c2/c3 inside tests are identically the scaled
      barycentrics w2/w0/w1, and w0+w1+w2 is the per-face determinant,
@@ -54,39 +54,35 @@ DEPTH_MIN_DELTA = 1e-4
 DEGENERATE_EPS = 1e-8
 
 
-def _face_scalars(read, k):
-    """Per-face scalar precompute (runs on the scalar core, overlapped with
-    the previous face's vector work).
-
-    The reference kernel recomputes everything per pixel-thread
-    (rasterize_cuda_kernel.cu:94-139); on TPU every per-pixel quantity is
-    affine in (xp, yp), so the nine edge coefficients (w_i = yp*A_i +
-    xp*B_i + C_i), the inverse depths, the determinant (== the constant
-    w0+w1+w2), and the bbox are face constants.  This also collapses the
-    reference's separate c1/c2/c3 inside tests: c1 == w2, c2 == w0,
-    c3 == w1 identically (expand the cross products), so the per-pixel
-    work drops from ~47 VPU ops + 4 divides to ~30 ops + 1 divide.
+def _face_constants(face_vertices):
+    """XLA prepass twin of ``_face_constants``: [bs, nf, 17] per-face
+    constants (A0,B0,C0,A1,B1,C1,A2,B2,C2, iz0,iz1,iz2, det,
+    xmin,xmax,ymin,ymax), computed once per face on the host side so the
+    kernel's scalar core only reads SMEM instead of re-deriving them
+    (3 scalar divides + ~25 flops per face per tile -- the bottleneck at
+    100K+ faces).  Same f32 expressions as ``_face_constants``.
     """
-    x0, y0, z0 = read(0, k), read(1, k), read(2, k)
-    x1, y1, z1 = read(3, k), read(4, k), read(5, k)
-    x2, y2, z2 = read(6, k), read(7, k), read(8, k)
-    coef = (
-        x2 - x1, y1 - y2, x1 * y2 - x2 * y1,   # A0, B0, C0
-        x0 - x2, y2 - y0, x2 * y0 - x0 * y2,   # A1, B1, C1
-        x1 - x0, y0 - y1, x0 * y1 - x1 * y0,   # A2, B2, C2
+    f = face_vertices
+    x0, y0, z0 = f[..., 0, 0], f[..., 0, 1], f[..., 0, 2]
+    x1, y1, z1 = f[..., 1, 0], f[..., 1, 1], f[..., 1, 2]
+    x2, y2, z2 = f[..., 2, 0], f[..., 2, 1], f[..., 2, 2]
+    C0 = x1 * y2 - x2 * y1
+    C1 = x2 * y0 - x0 * y2
+    C2 = x0 * y1 - x1 * y0
+    return jnp.stack(
+        (
+            x2 - x1, y1 - y2, C0,
+            x0 - x2, y2 - y0, C1,
+            x1 - x0, y0 - y1, C2,
+            1.0 / z0, 1.0 / z1, 1.0 / z2,
+            C0 + C1 + C2,
+            jnp.minimum(jnp.minimum(x0, x1), x2),
+            jnp.maximum(jnp.maximum(x0, x1), x2),
+            jnp.minimum(jnp.minimum(y0, y1), y2),
+            jnp.maximum(jnp.maximum(y0, y1), y2),
+        ),
+        axis=-1,
     )
-    det = coef[2] + coef[5] + coef[8]
-    iz = (1.0 / z0, 1.0 / z1, 1.0 / z2)
-    bbox = (
-        jnp.minimum(jnp.minimum(x0, x1), x2),
-        jnp.maximum(jnp.maximum(x0, x1), x2),
-        jnp.minimum(jnp.minimum(y0, y1), y2),
-        jnp.maximum(jnp.maximum(y0, y1), y2),
-    )
-    # golden-image backface convention (see resolve.py note)
-    backside = (y2 - y0) * (x1 - x0) < (y1 - y0) * (x2 - x0)
-    xyz = (x0, y0, z0, x1, y1, z1, x2, y2, z2)
-    return xyz, coef, iz, det, bbox, backside
 
 
 def _face_accept(xp, yp, coef, iz, det, bbox, depth, near, far):
@@ -141,7 +137,8 @@ def _binned_kernel(
     # SMEM operands
     cnt_ref,         # [1, 1, n_tiles] int32: faces binned to each tile
     ids_ref,         # [1, 1, 1, K] int32: original face ids, bin order
-    faces_ref,       # [1, 1, 9, K] f32: binned face coords, coord-major
+    consts_ref,      # [1, 1, 17, K] f32: binned per-face constants
+    coords_in_ref,   # [1, 1, 9, K] f32: binned vertex coords (latch only)
     attrs_ref,       # [1, 1, A, K] f32 (only when num_attrs > 0)
     # outputs (VMEM, resident across the chunk axis)
     index_ref,       # [1, TH, TW] int32
@@ -199,8 +196,8 @@ def _binned_kernel(
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (rw, tile_w), 0)
 
         def face_body(k, _):
-            read = lambda j, kk: faces_ref[0, 0, j, kk]
-            xyz, coef, iz, det, bbox, _backside = _face_scalars(read, k)
+            cs = tuple(consts_ref[0, 0, j, k] for j in range(17))
+            coef, iz, det, bbox = cs[:9], cs[9:12], cs[12], cs[13:17]
             fid = ids_ref[0, 0, 0, k]
             r0, n_win = _row_windows(bbox, ty, tile_h, rw, image_size)
 
@@ -228,7 +225,7 @@ def _binned_kernel(
                     for j in range(9):
                         pltpu.store(
                             coords_ref.at[0, j, rows, :],
-                            jnp.broadcast_to(xyz[j], win_shape),
+                            jnp.broadcast_to(coords_in_ref[0, 0, j, k], win_shape),
                             mask=accept,
                         )
                     for a in range(num_attrs):
@@ -254,7 +251,7 @@ def _bin_faces(face_vertices, image_size, n_tile_y, n_tile_x, tile_h, tile_w,
     pixel-centre bbox test the kernel would apply), compacted to the
     front in ascending id order.  Degenerate (|det| < 1e-8) and culled
     backfaces are excluded here once instead of per (face, tile); both
-    tests use the identical f32 expressions as ``_face_scalars``.
+    tests use the identical f32 expressions as ``_face_constants``.
     """
     bs, nf = face_vertices.shape[:2]
     x = face_vertices[..., 0]  # [bs, nf, 3]
@@ -354,20 +351,31 @@ def _run_binned(
     nf_p = nf + pad
     n_chunks = nf_p // face_chunk
 
-    # gather each bin's faces (and attrs) in bin order; pad the tail
-    flat = face_vertices.reshape(bs, 1, nf, 9)
-    binned = jnp.take_along_axis(flat, order[..., None], axis=2)
-    binned = jnp.pad(binned, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    # coord-major chunks for cheap SMEM scalar reads, with the (tile,
-    # chunk) axes flattened so every SMEM block's trailing dims equal the
-    # array dims (a Pallas lowering requirement): [bs, T*nc, 9, K]
-    faces_cm = binned.reshape(bs, n_tiles * n_chunks, face_chunk, 9)
-    faces_cm = faces_cm.transpose(0, 1, 3, 2)
+    # gather each bin's per-face constants (and coords/attrs for the
+    # latch path) in bin order; pad the tail.  Chunks are laid out
+    # coord-major for cheap SMEM scalar reads, with the (tile, chunk)
+    # axes flattened so every SMEM block's trailing dims equal the array
+    # dims (a Pallas lowering requirement): [bs, T*nc, C, K]
+    def bin_gather(per_face):
+        d = per_face.shape[-1]
+        g = jnp.take_along_axis(per_face[:, None], order[..., None], axis=2)
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return g.reshape(bs, n_tiles * n_chunks, face_chunk, d).transpose(
+            0, 1, 3, 2
+        )
+
+    consts_cm = bin_gather(_face_constants(face_vertices))
     ids = jnp.pad(order, ((0, 0), (0, 0), (0, pad)))
     ids = ids.reshape(bs, n_tiles * n_chunks, 1, face_chunk)
 
-    inputs = [cnt[:, None, :], ids, faces_cm]
+    inputs = [cnt[:, None, :], ids, consts_cm]
     nc = n_chunks
+    def chunk_spec(d):
+        return pl.BlockSpec(
+            (1, 1, d, face_chunk),
+            lambda b, t, c: (b, t * nc + c, 0, 0),
+            memory_space=pltpu.SMEM,
+        )
     in_specs = [
         pl.BlockSpec(
             (1, 1, n_tiles), lambda b, t, c: (b, 0, 0),
@@ -378,27 +386,14 @@ def _run_binned(
             lambda b, t, c: (b, t * nc + c, 0, 0),
             memory_space=pltpu.SMEM,
         ),
-        pl.BlockSpec(
-            (1, 1, 9, face_chunk),
-            lambda b, t, c: (b, t * nc + c, 0, 0),
-            memory_space=pltpu.SMEM,
-        ),
+        chunk_spec(17),
     ]
+    if latch:
+        inputs.append(bin_gather(face_vertices.reshape(bs, nf, 9)))
+        in_specs.append(chunk_spec(9))
     if num_attrs:
-        flat_a = face_attrs.reshape(bs, 1, nf, num_attrs)
-        binned_a = jnp.take_along_axis(flat_a, order[..., None], axis=2)
-        binned_a = jnp.pad(binned_a, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        attrs_cm = binned_a.reshape(
-            bs, n_tiles * n_chunks, face_chunk, num_attrs
-        ).transpose(0, 1, 3, 2)
-        inputs.append(attrs_cm)
-        in_specs.append(
-            pl.BlockSpec(
-                (1, 1, num_attrs, face_chunk),
-                lambda b, t, c: (b, t * nc + c, 0, 0),
-                memory_space=pltpu.SMEM,
-            )
-        )
+        inputs.append(bin_gather(face_attrs))
+        in_specs.append(chunk_spec(num_attrs))
 
     tile_idx = lambda b, t, c: (b, t // n_tile_x, t % n_tile_x)
     out_specs = [
@@ -450,14 +445,15 @@ def _run_binned(
         refs = list(refs)
         cnt_r = refs.pop(0)
         ids_r = refs.pop(0)
-        faces_r = refs.pop(0)
+        consts_r = refs.pop(0)
+        coords_in_r = refs.pop(0) if latch else None
         attrs_r = refs.pop(0) if num_attrs else None
         index_r = refs.pop(0)
         depth_r = refs.pop(0)
         coords_r = refs.pop(0) if latch else None
         attr_out_r = refs.pop(0) if (latch and num_attrs) else None
-        kernel(cnt_r, ids_r, faces_r, attrs_r, index_r, depth_r,
-               coords_r, attr_out_r)
+        kernel(cnt_r, ids_r, consts_r, coords_in_r, attrs_r, index_r,
+               depth_r, coords_r, attr_out_r)
 
     outs = pl.pallas_call(
         wrapped,
