@@ -219,3 +219,57 @@ def test_render_channel_shapes(reference_data):
     assert rgb.shape == (1, 3, 64, 64)
     depth = renderer.render_depth(vertices[None], faces)
     assert depth.shape == (1, 64, 64)
+
+
+def test_rasterize_all_matches_individual_channels(reference_data):
+    """rasterize_all (chainer rasterize_all parity, rasterize.py:614-766)
+    draws RGB + silhouette + depth in one pass; each channel must match
+    the dedicated entry point."""
+    from neural_renderer_v2_pytorch_tpu.ops.rasterize import (
+        rasterize_all,
+        rasterize_depth,
+        rasterize_rgb,
+        rasterize_silhouettes,
+        RasterizeParam,
+    )
+
+    vertices, faces = nr.load_obj(str(reference_data / "teapot.obj"))
+    vt, ft, tex = nr.create_textures(faces.shape[0], texture_size=2)
+    renderer = nr.Renderer()
+    renderer.viewpoints = nr.get_points_from_angles(2.732, 30, 45)
+    tv = renderer.transform_vertices(jnp.asarray(vertices[None]))
+    F = jnp.asarray(faces)
+    params = RasterizeParam(
+        vertices_textures=jnp.asarray(vt[None]),
+        faces_textures=jnp.asarray(ft),
+        textures=jnp.asarray(tex[None]),
+    )
+    hp = RasterizeHyperparam(image_size=64, anti_aliasing=False)
+
+    allc = np.asarray(rasterize_all(tv, F, params, hp))
+    assert allc.shape == (1, 5, 64, 64)
+    rgb = np.asarray(rasterize_rgb(tv, F, params, hp))
+    sil = np.asarray(rasterize_silhouettes(tv, F, params, hp))
+    dep = np.asarray(rasterize_depth(tv, F, params, hp))
+    np.testing.assert_allclose(allc[:, :3], rgb, atol=1e-6)
+    np.testing.assert_allclose(allc[:, 3], sil, atol=1e-6)
+    np.testing.assert_allclose(allc[:, 4], dep, atol=1e-6)
+
+
+def test_custom_adam_param_wise_lr():
+    """utils/optim.adam (reference chainer AdamRule parity,
+    optimizers.py:6-37): per-parameter lr, frozen at lr=0."""
+    import jax
+
+    params = {"a": jnp.ones(3), "b": jnp.ones(3)}
+    grads = {"a": jnp.ones(3), "b": jnp.ones(3)}
+    opt = nr.adam(lr=0.1, param_lrs={"a": 0.0, "b": None})
+    state = opt.init(params)
+    updates, state = opt.update(grads, state)
+    import optax
+
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_array_equal(np.asarray(new["a"]), np.ones(3))  # frozen
+    assert np.all(np.asarray(new["b"]) < 1.0)                        # stepped
+    # reference Adam step size at t=1 is ~lr
+    np.testing.assert_allclose(np.asarray(new["b"]), 1.0 - 0.1, atol=1e-3)
