@@ -1,0 +1,147 @@
+"""Device-side scaling sweep: batch, image size, face count, render path.
+
+Prints one table of per-step forward+backward device times measured with
+the tunnel-robust protocol (lax.scan chains at two lengths, differenced
+-- see bench.py / README "Measurement caveats").
+
+Usage:  python benchmarks/scaling.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+TEAPOT = "/root/reference/tests_torch/data/teapot.obj"
+
+
+def subdivide(v, f):
+    """Midpoint 1:4 triangle subdivision (no dedup; geometry identical)."""
+    v0, v1, v2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+    m01, m12, m20 = (v0 + v1) / 2, (v1 + v2) / 2, (v2 + v0) / 2
+    nv = np.concatenate([v0, v1, v2, m01, m12, m20], 0)
+    n = f.shape[0]
+    i = np.arange(n)
+    A, B, C, AB, BC, CA = i, i + n, i + 2 * n, i + 3 * n, i + 4 * n, i + 5 * n
+    nf = np.concatenate(
+        [np.stack([A, AB, CA], 1), np.stack([AB, B, BC], 1),
+         np.stack([CA, BC, C], 1), np.stack([AB, BC, CA], 1)], 0)
+    return nv.astype("float32"), nf.astype("int32")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="fewer scan iters")
+    ap.add_argument("--obj", default=TEAPOT)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import neural_renderer_v2_pytorch_tpu as nr
+    from neural_renderer_v2_pytorch_tpu.models.lights import (
+        AmbientLight, DirectionalLight, SpecularLight,
+    )
+    from neural_renderer_v2_pytorch_tpu.ops.camera import look_at, perspective
+    from neural_renderer_v2_pytorch_tpu.ops.rasterize import (
+        RasterizeHyperparam, RasterizeParam, rasterize_rgba,
+        rasterize_silhouettes,
+    )
+
+    n1, n2 = (10, 40) if args.quick else (30, 120)
+
+    def device_time(step, carry):
+        def wall(N):
+            @jax.jit
+            def run(v):
+                def body(v, _):
+                    return step(v), None
+                v, _ = jax.lax.scan(body, v, None, length=N)
+                return v
+            o = run(carry + jnp.float32(1e-5))
+            jax.block_until_ready(o)
+            _ = float(jnp.sum(o))
+            best = float("inf")
+            for r in range(2):
+                vi = carry + jnp.float32(1e-6 * r)
+                jax.block_until_ready(vi)
+                t0 = time.perf_counter()
+                o = run(vi)
+                jax.block_until_ready(o)
+                _ = float(jnp.sum(o))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        return (wall(n2) - wall(n1)) / (n2 - n1) * 1e3
+
+    vertices, faces = nr.load_obj(args.obj)
+    print("platform:", jax.default_backend())
+    print("%-42s %10s %12s" % ("config (fwd+bwd per step)", "ms", "Mpx/s"))
+
+    def report(name, t, px):
+        print("%-42s %10.3f %12.1f" % (name, t, px / t / 1e3))
+
+    def sil_step(F, eye, hp):
+        def step(v):
+            def loss(v):
+                tv = perspective(look_at(v, eye), angle=30.0)
+                return jnp.sum(rasterize_silhouettes(tv, F, None, hp) ** 2)
+            return v - 1e-9 * jax.grad(loss)(v)
+        return step
+
+    eye1 = np.array(nr.get_points_from_angles(2.732, 30, 0), "float32")
+    F = np.asarray(faces)
+    V = jnp.asarray(vertices[None])
+
+    # headline: 256^2 silhouette, AA on
+    hp = RasterizeHyperparam(image_size=256)
+    report("silhouette 256^2 AA bs=1 (2.5K faces)",
+           device_time(sil_step(F, eye1, hp), V), 256 ** 2)
+
+    # batched cameras
+    for bs in (8, 30):
+        eyes = np.stack([
+            np.array(nr.get_points_from_angles(2.732, 30, a), "float32")
+            for a in np.linspace(0, 360, bs, endpoint=False)])
+        Vb = jnp.asarray(np.tile(vertices[None], (bs, 1, 1)))
+        report("silhouette 256^2 AA bs=%d" % bs,
+               device_time(sil_step(F, eyes, hp), Vb), bs * 256 ** 2)
+
+    # textured (+ lights), per-face atlas fast path
+    vt, ft, tex = nr.create_textures(F.shape[0], texture_size=2)
+    VT, FT = np.asarray(vt[None]), np.asarray(ft)
+    TEX = jnp.asarray(tex[None])
+    lights = (
+        DirectionalLight(color=jnp.ones((1, 3)) * 0.6,
+                         direction=jnp.asarray([[1.0, 1.0, 1.0]])),
+        AmbientLight(color=jnp.ones((1, 3)) * 0.3),
+        SpecularLight(color=jnp.ones((1, 3)) * 0.2),
+    )
+    for name, l in (("textured 256^2 AA bs=1", None),
+                    ("textured+3lights 256^2 AA bs=1", lights)):
+        p = RasterizeParam(vertices_textures=jnp.asarray(VT),
+                           faces_textures=jnp.asarray(FT), textures=TEX,
+                           lights=l, texture_size=2)
+        def step(v, p=p):
+            def loss(v):
+                tv = perspective(look_at(v, eye1), angle=30.0)
+                return jnp.sum(rasterize_rgba(tv, F, p, hp) ** 2)
+            return v - 1e-9 * jax.grad(loss)(v)
+        report(name, device_time(step, V), 256 ** 2)
+
+    # face-count scaling at 512^2 (no AA)
+    hp512 = RasterizeHyperparam(image_size=512, anti_aliasing=False)
+    v, f = vertices, faces
+    for lvl in range(4):
+        if lvl:
+            v, f = subdivide(v, f)
+        if args.quick and f.shape[0] > 50_000:
+            break
+        Vs = jnp.asarray(v[None])
+        report("silhouette 512^2 bs=1 (%dK faces)" % (f.shape[0] // 1000),
+               device_time(sil_step(np.asarray(f), eye1, hp512), Vs), 512 ** 2)
+
+
+if __name__ == "__main__":
+    main()
