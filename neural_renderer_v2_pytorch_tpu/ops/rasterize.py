@@ -152,6 +152,10 @@ def compute_channel_maps(
         )  # [bs, nf, ts*ts*3]
 
     backend = _resolve_backend(hp.backend)
+    if backend == "pallas" and render_size % 8:
+        # the Pallas kernel needs 8-row-aligned tiles; odd sizes take the
+        # (bit-identical) XLA path
+        backend = "xla"
     if num_rows == render_size and face_axis is None:
         # fused resolve + winner-attribute gather: the winning face's
         # vertex coords / UVs / normals come straight out of the resolve

@@ -273,3 +273,14 @@ def test_custom_adam_param_wise_lr():
     assert np.all(np.asarray(new["b"]) < 1.0)                        # stepped
     # reference Adam step size at t=1 is ~lr
     np.testing.assert_allclose(np.asarray(new["b"]), 1.0 - 0.1, atol=1e-3)
+
+
+def test_odd_image_size_renders(reference_data):
+    """Non-8-aligned sizes fall back to the XLA resolve transparently."""
+    vertices, faces = nr.load_obj(str(reference_data / "teapot.obj"))
+    renderer = nr.Renderer()
+    renderer.image_size = 50  # render_size 100 with AA
+    renderer.viewpoints = nr.get_points_from_angles(2.732, 30, 45)
+    sil = np.asarray(renderer.render_silhouettes(vertices[None], faces))
+    assert sil.shape == (1, 50, 50)
+    assert 0.05 < sil.mean() < 0.3
