@@ -20,6 +20,7 @@ Conventions (matching the reference exactly, required for golden parity):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -73,7 +74,12 @@ def look_at(vertices, viewpoints, at=None, up=None):
     r = jnp.stack((x_axis, y_axis, z_axis), axis=1)
 
     vertices = vertices - viewpoints[:, None, :]
-    vertices = jnp.matmul(vertices, jnp.swapaxes(r, 1, 2))
+    # full f32 matmul: the MXU's default bf16 path shifts edge pixels in
+    # the resolve and costs 40x on golden parity (mean abs diff 1.8e-3 ->
+    # 3.0e-4 vs the reference PNGs); this [nv,3]x[3,3] product is cheap
+    vertices = jnp.matmul(
+        vertices, jnp.swapaxes(r, 1, 2), precision=jax.lax.Precision.HIGHEST
+    )
     return vertices
 
 
@@ -106,7 +112,12 @@ def look(vertices, viewpoints, direction=None, up=None):
     r = jnp.stack((x_axis, y_axis, z_axis), axis=1)           # [bs, 3, 3]
 
     vertices = vertices - viewpoints[:, None, :]
-    vertices = jnp.matmul(vertices, jnp.swapaxes(r, 1, 2))
+    # full f32 matmul: the MXU's default bf16 path shifts edge pixels in
+    # the resolve and costs 40x on golden parity (mean abs diff 1.8e-3 ->
+    # 3.0e-4 vs the reference PNGs); this [nv,3]x[3,3] product is cheap
+    vertices = jnp.matmul(
+        vertices, jnp.swapaxes(r, 1, 2), precision=jax.lax.Precision.HIGHEST
+    )
     return vertices
 
 
