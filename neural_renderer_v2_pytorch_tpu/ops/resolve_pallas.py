@@ -326,14 +326,20 @@ def _run_binned(
     num_attrs = 0 if face_attrs is None else face_attrs.shape[-1]
     if tile is None:
         # pick the tallest tile whose resident planes (index + depth +
-        # latched coords/attrs) fit VMEM with buffering headroom
+        # latched coords/attrs) fit VMEM with buffering headroom.  The
+        # width must be lane-aligned (128-divisible) or the full image;
+        # the height any 8-multiple divisor of the image.
         planes = 2 + ((9 + num_attrs) if latch else 0)
-        tw = min(128, image_size)
+        tw = 128 if image_size % 128 == 0 else image_size
         budget = 10 * 1024 * 1024
-        th = 512
-        while th > 8 and planes * th * tw * 4 * 2 > budget:
-            th //= 2
-        tile = (min(th, image_size), tw)
+        th = None
+        for cand in range(min(512, image_size), 7, -8):
+            if image_size % cand == 0 and planes * cand * tw * 8 <= budget:
+                th = cand
+                break
+        if th is None:
+            th = 8
+        tile = (th, tw)
     tile_h, tile_w = tile
     row_window = min(row_window, tile_h)
     assert image_size % tile_h == 0 and image_size % tile_w == 0

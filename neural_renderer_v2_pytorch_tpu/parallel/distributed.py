@@ -33,12 +33,19 @@ from .mesh import make_mesh
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
     """Initialize the multi-process JAX runtime.
 
-    On TPU pods the arguments are auto-detected from the environment; on
-    other platforms pass them explicitly.  Safe to call when already
-    initialized or in a single-process session (returns False then).
+    Must run before any other JAX call (anything that initializes the XLA
+    backend -- even ``jax.process_count()`` -- makes
+    ``jax.distributed.initialize`` fail).  On TPU pods the arguments are
+    auto-detected from the environment; on other platforms pass them
+    explicitly.
+
+    Returns True when the multi-process runtime is up.  With NO arguments
+    the call is best-effort (single-process dev sessions return False);
+    with explicit arguments a failure is a real misconfiguration and the
+    exception propagates -- silently rendering single-host when the user
+    asked for a cluster would produce wrong results with no signal.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -46,8 +53,16 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
             process_id=process_id,
         )
         return True
-    except (ValueError, RuntimeError):
-        # single-process session (tests, one-host dev): nothing to do
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return True
+        if explicit:
+            raise
+        return False
+    except ValueError:
+        if explicit:
+            raise
+        # auto-detection unavailable (single-process session): no-op
         return False
 
 

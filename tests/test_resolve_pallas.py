@@ -93,3 +93,17 @@ def test_scatter_to_faces_tiny_image_and_odd_faces():
     )
     scale = np.abs(ref).max()
     np.testing.assert_allclose(pal, ref, atol=1e-4 * scale)
+
+
+@pytest.mark.parametrize("size", [320, 640, 136])
+def test_non_power_of_two_sizes(size):
+    """Auto tile selection must handle any 8-aligned image size (a fixed
+    128-wide tile used to assert on sizes not divisible by 128)."""
+    rng = np.random.RandomState(4)
+    fv = jnp.asarray(rng.uniform(-1, 1, size=(1, 23, 3, 3)).astype("float32"))
+    fv = fv.at[..., 2].set(jnp.abs(fv[..., 2]) + 0.5)
+    ref = np.asarray(compute_face_index_map(fv, size, 0.1, 100.0, True, 8))
+    pal = np.asarray(
+        compute_face_index_map_pallas(fv, size, interpret=True)
+    )
+    assert (ref == pal).all()
