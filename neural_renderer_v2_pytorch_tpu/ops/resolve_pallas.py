@@ -55,12 +55,12 @@ DEGENERATE_EPS = 1e-8
 
 
 def _face_constants(face_vertices):
-    """XLA prepass twin of ``_face_constants``: [bs, nf, 17] per-face
-    constants (A0,B0,C0,A1,B1,C1,A2,B2,C2, iz0,iz1,iz2, det,
-    xmin,xmax,ymin,ymax), computed once per face on the host side so the
-    kernel's scalar core only reads SMEM instead of re-deriving them
-    (3 scalar divides + ~25 flops per face per tile -- the bottleneck at
-    100K+ faces).  Same f32 expressions as ``_face_constants``.
+    """Per-face constants for the kernel, as an XLA prepass: [bs, nf, 17]
+    (A0,B0,C0,A1,B1,C1,A2,B2,C2, iz0,iz1,iz2, det, xmin,xmax,ymin,ymax).
+    Computed once per face on the host side so the kernel's scalar core
+    only reads SMEM instead of re-deriving them per (face, tile).  The
+    same expressions appear inline in ``resolve._face_candidates``; both
+    paths must stay textually identical for bit-exact parity.
     """
     f = face_vertices
     x0, y0, z0 = f[..., 0, 0], f[..., 0, 1], f[..., 0, 2]
@@ -163,11 +163,13 @@ def _binned_kernel(
     Every face in this tile's bin overlaps the tile (the host prepass
     culled misses, degenerates, and backfaces and compacted survivors in
     face-id order -- see ``_bin_faces``), so there is no per-face branch
-    at all: the chunk loop runs exactly ``cnt - c*K`` iterations, and each
-    face touches only the ``row_window``-row slabs covering its pixel
-    rows.  The sequential z-buffer accept (kernel.cu:145-148) is preserved
-    because compaction is order-stable and a pixel's winner depends only
-    on faces that cover it.
+    at all: the loop covers exactly ``cnt - c*K`` faces, two per
+    iteration (see ``pair_body``), and each pair touches only the
+    ``row_window``-row slabs covering its pixel rows.  The sequential
+    z-buffer accept (kernel.cu:145-148) is preserved because compaction
+    is order-stable, the pair combine tests face k+1 against the depth
+    after face k's update, and a pixel's winner depends only on faces
+    that cover it.
     """
     t = pl.program_id(1)
     c = pl.program_id(2)
@@ -195,11 +197,38 @@ def _binned_kernel(
         xp = (2.0 * col.astype(jnp.float32) + (1.0 - image_size)) * inv
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (rw, tile_w), 0)
 
-        def face_body(k, _):
-            cs = tuple(consts_ref[0, 0, j, k] for j in range(17))
-            coef, iz, det, bbox = cs[:9], cs[9:12], cs[12], cs[13:17]
-            fid = ids_ref[0, 0, 0, k]
-            r0, n_win = _row_windows(bbox, ty, tile_h, rw, image_size)
+        def pair_body(i, _):
+            # two consecutive faces per iteration: the sequential z-accept
+            # stays exact (face k+1 tests against the depth AFTER face k's
+            # update), the loop/scalar overhead halves, and the latch
+            # stores merge (one masked store per plane for both faces).
+            # Consecutive bin entries are id-adjacent and meshes are
+            # spatially coherent, so the union row range is barely wider
+            # than each face's own.
+            k = 2 * i
+            # clamp the partner read in-bounds for odd chunk sizes; the
+            # result is masked out by valid2 then
+            k2 = jnp.minimum(k + 1, face_chunk - 1)
+
+            def face(kk):
+                cs = tuple(consts_ref[0, 0, j, kk] for j in range(17))
+                return cs[:9], cs[9:12], cs[12], cs[13:17], ids_ref[0, 0, 0, kk]
+
+            coef1, iz1, det1, bbox1, fid1 = face(k)
+            coef2, iz2, det2, bbox2, fid2 = face(k2)
+            valid2 = k + 1 < n_in_chunk
+
+            r0a, _ = _row_windows(bbox1, ty, tile_h, rw, image_size)
+            union = (
+                bbox1[0], bbox1[1],
+                jnp.minimum(bbox1[2], bbox2[2]),
+                jnp.maximum(bbox1[3], bbox2[3]),
+            )
+            r0u, n_win_u = _row_windows(union, ty, tile_h, rw, image_size)
+            # when face 2 is past the count, cover only face 1's rows
+            _, n_win_a = _row_windows(bbox1, ty, tile_h, rw, image_size)
+            r0 = jnp.where(valid2, r0u, r0a)
+            n_win = jnp.where(valid2, n_win_u, n_win_a)
 
             def win_body(w, _):
                 # r0, rw, tile_h are all 8-aligned; tell Mosaic so the
@@ -211,35 +240,49 @@ def _binned_kernel(
                 depth = depth_ref[0, rows, :]
                 gr = ty * tile_h + start + row_iota
                 yp = (2.0 * gr.astype(jnp.float32) + (1.0 - image_size)) * inv
-                accept, zp, _ = _face_accept(
-                    xp, yp, coef, iz, det, bbox, depth, near, far
+                a1, z1, _ = _face_accept(
+                    xp, yp, coef1, iz1, det1, bbox1, depth, near, far
                 )
-                pltpu.store(depth_ref.at[0, rows, :], zp, mask=accept)
+                d1 = jnp.where(a1, z1, depth)
+                a2, z2, _ = _face_accept(
+                    xp, yp, coef2, iz2, det2, bbox2, d1, near, far
+                )
+                a2 &= valid2
+                hit = a1 | a2
+                pltpu.store(
+                    depth_ref.at[0, rows, :], jnp.where(a2, z2, z1), mask=hit
+                )
                 pltpu.store(
                     index_ref.at[0, rows, :],
-                    jnp.full((rw, tile_w), fid, jnp.int32),
-                    mask=accept,
+                    jnp.where(a2, fid2, fid1) * jnp.ones((rw, tile_w), jnp.int32),
+                    mask=hit,
                 )
                 if latch:
                     win_shape = (rw, tile_w)
                     for j in range(9):
+                        val = jnp.where(
+                            a2, coords_in_ref[0, 0, j, k2], coords_in_ref[0, 0, j, k]
+                        )
                         pltpu.store(
                             coords_ref.at[0, j, rows, :],
-                            jnp.broadcast_to(coords_in_ref[0, 0, j, k], win_shape),
-                            mask=accept,
+                            jnp.broadcast_to(val, win_shape),
+                            mask=hit,
                         )
                     for a in range(num_attrs):
+                        val = jnp.where(
+                            a2, attrs_ref[0, 0, a, k2], attrs_ref[0, 0, a, k]
+                        )
                         pltpu.store(
                             attr_out_ref.at[0, a, rows, :],
-                            jnp.broadcast_to(attrs_ref[0, 0, a, k], win_shape),
-                            mask=accept,
+                            jnp.broadcast_to(val, win_shape),
+                            mask=hit,
                         )
                 return 0
 
             jax.lax.fori_loop(0, n_win, win_body, 0)
             return 0
 
-        jax.lax.fori_loop(0, n_in_chunk, face_body, 0)
+        jax.lax.fori_loop(0, (n_in_chunk + 1) // 2, pair_body, 0)
 
 
 def _bin_faces(face_vertices, image_size, n_tile_y, n_tile_x, tile_h, tile_w,
@@ -491,7 +534,7 @@ def resolve_gather_pallas(
     draw_backside=True,
     face_chunk=256,
     tile=None,
-    row_window=16,
+    row_window=24,
     interpret=False,
 ):
     """Fused z-resolve + winner-attribute gather (forward only).
@@ -671,7 +714,7 @@ def compute_face_index_map_pallas(
     draw_backside=True,
     face_chunk=256,
     tile=None,
-    row_window=16,
+    row_window=24,
     interpret=False,
 ):
     """Per-pixel z-buffered visible-face id (Pallas TPU kernel).
