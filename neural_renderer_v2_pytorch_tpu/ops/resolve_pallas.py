@@ -525,7 +525,7 @@ def resolve_gather_pallas(
     draw_backside=True,
     face_chunk=256,
     tile=None,
-    row_window=24,
+    row_window=16,
     interpret=False,
 ):
     """Fused z-resolve + winner-attribute gather (forward only).
@@ -705,7 +705,7 @@ def compute_face_index_map_pallas(
     draw_backside=True,
     face_chunk=256,
     tile=None,
-    row_window=24,
+    row_window=16,
     interpret=False,
 ):
     """Per-pixel z-buffered visible-face id (Pallas TPU kernel).
