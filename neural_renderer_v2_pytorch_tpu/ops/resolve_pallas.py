@@ -157,19 +157,21 @@ def _binned_kernel(
     row_window,
     num_attrs,
     latch,
+    group_size,
 ):
     """Z-resolve over host-binned per-tile face lists.
 
     Every face in this tile's bin overlaps the tile (the host prepass
     culled misses, degenerates, and backfaces and compacted survivors in
     face-id order -- see ``_bin_faces``), so there is no per-face branch
-    at all: the loop covers exactly ``cnt - c*K`` faces, two per
-    iteration (see ``pair_body``), and each pair touches only the
+    at all: the loop covers exactly ``cnt - c*K`` faces, ``group_size``
+    per iteration (see ``group_body``; 2 measures best -- wider groups
+    lose to union-window growth), and each group touches only the
     ``row_window``-row slabs covering its pixel rows.  The sequential
     z-buffer accept (kernel.cu:145-148) is preserved because compaction
-    is order-stable, the pair combine tests face k+1 against the depth
-    after face k's update, and a pixel's winner depends only on faces
-    that cover it.
+    is order-stable, the group combine tests each face against the depth
+    after its predecessors' updates, and a pixel's winner depends only on
+    faces that cover it.
     """
     t = pl.program_id(1)
     c = pl.program_id(2)
@@ -197,38 +199,42 @@ def _binned_kernel(
         xp = (2.0 * col.astype(jnp.float32) + (1.0 - image_size)) * inv
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (rw, tile_w), 0)
 
-        def pair_body(i, _):
-            # two consecutive faces per iteration: the sequential z-accept
-            # stays exact (face k+1 tests against the depth AFTER face k's
-            # update), the loop/scalar overhead halves, and the latch
-            # stores merge (one masked store per plane for both faces).
+        G = group_size
+
+        def group_body(i, _):
+            # G consecutive faces per iteration, over the union of their
+            # row windows: the sequential z-accept stays exact (each face
+            # tests against the depth after its predecessors' updates),
+            # the loop/scalar overhead divides by G, and the latch stores
+            # merge into one masked store per plane for the whole group.
             # Consecutive bin entries are id-adjacent and meshes are
             # spatially coherent, so the union row range is barely wider
             # than each face's own.
-            k = 2 * i
-            # clamp the partner read in-bounds for odd chunk sizes; the
-            # result is masked out by valid2 then
-            k2 = jnp.minimum(k + 1, face_chunk - 1)
+            base = G * i
+            # clamp trailing reads in-bounds for non-multiple counts; the
+            # results are masked out by their valid flags
+            ks = [jnp.minimum(base + j, face_chunk - 1) for j in range(G)]
 
             def face(kk):
                 cs = tuple(consts_ref[0, 0, j, kk] for j in range(17))
                 return cs[:9], cs[9:12], cs[12], cs[13:17], ids_ref[0, 0, 0, kk]
 
-            coef1, iz1, det1, bbox1, fid1 = face(k)
-            coef2, iz2, det2, bbox2, fid2 = face(k2)
-            valid2 = k + 1 < n_in_chunk
+            members = [face(k) for k in ks]
+            valids = [base + j < n_in_chunk for j in range(G)]
 
-            r0a, _ = _row_windows(bbox1, ty, tile_h, rw, image_size)
-            union = (
-                bbox1[0], bbox1[1],
-                jnp.minimum(bbox1[2], bbox2[2]),
-                jnp.maximum(bbox1[3], bbox2[3]),
+            # union y-range over the valid members (face 0 always valid here)
+            ymin_u = members[0][3][2]
+            ymax_u = members[0][3][3]
+            for j in range(1, G):
+                ymin_u = jnp.where(
+                    valids[j], jnp.minimum(ymin_u, members[j][3][2]), ymin_u
+                )
+                ymax_u = jnp.where(
+                    valids[j], jnp.maximum(ymax_u, members[j][3][3]), ymax_u
+                )
+            r0, n_win = _row_windows(
+                (0.0, 0.0, ymin_u, ymax_u), ty, tile_h, rw, image_size
             )
-            r0u, n_win_u = _row_windows(union, ty, tile_h, rw, image_size)
-            # when face 2 is past the count, cover only face 1's rows
-            _, n_win_a = _row_windows(bbox1, ty, tile_h, rw, image_size)
-            r0 = jnp.where(valid2, r0u, r0a)
-            n_win = jnp.where(valid2, n_win_u, n_win_a)
 
             def win_body(w, _):
                 # r0, rw, tile_h are all 8-aligned; tell Mosaic so the
@@ -237,31 +243,42 @@ def _binned_kernel(
                     jnp.minimum(r0 + w * rw, tile_h - rw), 8
                 )
                 rows = pl.ds(start, rw)
-                depth = depth_ref[0, rows, :]
+                d = depth_ref[0, rows, :]
                 gr = ty * tile_h + start + row_iota
                 yp = (2.0 * gr.astype(jnp.float32) + (1.0 - image_size)) * inv
-                a1, z1, _ = _face_accept(
-                    xp, yp, coef1, iz1, det1, bbox1, depth, near, far
-                )
-                d1 = jnp.where(a1, z1, depth)
-                a2, z2, _ = _face_accept(
-                    xp, yp, coef2, iz2, det2, bbox2, d1, near, far
-                )
-                a2 &= valid2
-                hit = a1 | a2
-                pltpu.store(
-                    depth_ref.at[0, rows, :], jnp.where(a2, z2, z1), mask=hit
-                )
+
+                accepts = []
+                for j in range(G):
+                    coef, iz, det, bbox, _fid = members[j]
+                    aj, zj, _ = _face_accept(
+                        xp, yp, coef, iz, det, bbox, d, near, far
+                    )
+                    aj &= valids[j]
+                    d = jnp.where(aj, zj, d)
+                    accepts.append(aj)
+
+                hit = accepts[0]
+                for aj in accepts[1:]:
+                    hit |= aj
+                pltpu.store(depth_ref.at[0, rows, :], d, mask=hit)
+
+                def cascade(vals):
+                    v = vals[0]
+                    for j in range(1, G):
+                        v = jnp.where(accepts[j], vals[j], v)
+                    return v
+
                 pltpu.store(
                     index_ref.at[0, rows, :],
-                    jnp.where(a2, fid2, fid1) * jnp.ones((rw, tile_w), jnp.int32),
+                    cascade([m[4] for m in members])
+                    * jnp.ones((rw, tile_w), jnp.int32),
                     mask=hit,
                 )
                 if latch:
                     win_shape = (rw, tile_w)
                     for j in range(9):
-                        val = jnp.where(
-                            a2, coords_in_ref[0, 0, j, k2], coords_in_ref[0, 0, j, k]
+                        val = cascade(
+                            [coords_in_ref[0, 0, j, k] for k in ks]
                         )
                         pltpu.store(
                             coords_ref.at[0, j, rows, :],
@@ -269,9 +286,7 @@ def _binned_kernel(
                             mask=hit,
                         )
                     for a in range(num_attrs):
-                        val = jnp.where(
-                            a2, attrs_ref[0, 0, a, k2], attrs_ref[0, 0, a, k]
-                        )
+                        val = cascade([attrs_ref[0, 0, a, k] for k in ks])
                         pltpu.store(
                             attr_out_ref.at[0, a, rows, :],
                             jnp.broadcast_to(val, win_shape),
@@ -282,7 +297,7 @@ def _binned_kernel(
             jax.lax.fori_loop(0, n_win, win_body, 0)
             return 0
 
-        jax.lax.fori_loop(0, (n_in_chunk + 1) // 2, pair_body, 0)
+        jax.lax.fori_loop(0, (n_in_chunk + G - 1) // G, group_body, 0)
 
 
 def _bin_faces(face_vertices, image_size, n_tile_y, n_tile_x, tile_h, tile_w,
@@ -351,6 +366,7 @@ def _run_binned(
     row_window,
     latch,
     interpret,
+    group_size=2,
 ):
     """Common driver: bin -> gather bins -> pallas_call.
 
@@ -479,6 +495,7 @@ def _run_binned(
         row_window=row_window,
         num_attrs=num_attrs,
         latch=latch,
+        group_size=group_size,
     )
 
     def wrapped(*refs):
