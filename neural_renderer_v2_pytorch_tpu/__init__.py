@@ -17,7 +17,7 @@ from .models.mesh import Mesh
 from .models.renderer import Renderer
 from .ops.camera import look, look_at, perspective
 from .ops.differentiation import differentiation
-from .ops.maps import mask_foreground, to_map
+from .ops.maps import cross, mask_foreground, to_map
 from .ops.rasterize import (
     RasterizeHyperparam,
     RasterizeParam,

@@ -58,3 +58,14 @@ def mask_foreground(data, face_index_map):
     mask = face_index_map >= 0
     mask = mask.reshape(mask.shape + (1,) * (data.ndim - mask.ndim))
     return jnp.where(mask, data, 0.0)
+
+
+def cross(a, b):
+    """Batched 3-vector cross product (chainer-parity op).
+
+    The chainer twin ships a custom Function with the analytic backward
+    ``ga = cross(b, gc), gb = cross(gc, a)`` (neural_renderer_chainer/
+    cross.py:26-55); under jax the same VJP falls out of autodiff on
+    ``jnp.cross``, so this is a plain alias kept for API parity.
+    """
+    return jnp.cross(a, b)

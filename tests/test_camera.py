@@ -58,3 +58,28 @@ def test_get_points_from_angles_scalar_and_tensor_agree():
     np.testing.assert_allclose(
         np.asarray(tensor)[0], np.array(scalar), rtol=1e-5
     )
+
+
+def test_cross_gradients_match_analytic():
+    """chainer cross-op parity (tests_chainer/test_cross.py): value and
+    the analytic backward ga = cross(b, g), gb = cross(g, a)."""
+    import jax
+
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(5)
+    a = jnp.asarray(rng.randn(8, 3).astype("float32"))
+    b = jnp.asarray(rng.randn(8, 3).astype("float32"))
+    g = jnp.asarray(rng.randn(8, 3).astype("float32"))
+
+    np.testing.assert_allclose(
+        np.asarray(nr.cross(a, b)), np.cross(np.asarray(a), np.asarray(b)),
+        rtol=1e-6,
+    )
+    ga, gb = jax.vjp(nr.cross, a, b)[1](g)
+    np.testing.assert_allclose(
+        np.asarray(ga), np.cross(np.asarray(b), np.asarray(g)), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(gb), np.cross(np.asarray(g), np.asarray(a)), rtol=1e-5, atol=1e-6
+    )
