@@ -74,7 +74,7 @@ def test_cross_gradients_match_analytic():
 
     np.testing.assert_allclose(
         np.asarray(nr.cross(a, b)), np.cross(np.asarray(a), np.asarray(b)),
-        rtol=1e-6,
+        rtol=1e-5, atol=1e-6,
     )
     ga, gb = jax.vjp(nr.cross, a, b)[1](g)
     np.testing.assert_allclose(
