@@ -143,7 +143,7 @@ def compute_channel_maps(
             params.vertices_textures, params.faces_textures.astype(jnp.int32), axis=1
         )  # [bs, nf, 3, 2]
     normals = None
-    if hp.draw_rgb and params.lights:
+    if hp.draw_rgb and params.lights is not None:
         normals = shading.face_vertex_normals(vertices, face_indices, face_vertices)
     texel_attrs = None
     if hp.draw_rgb and params.texture_size is not None:
@@ -245,7 +245,9 @@ def compute_channel_maps(
                 face_vertex_map[..., 2], uv_map, params.textures,
                 face_index_map, weight_map, hp.eps,
             )
-        if params.lights:
+        # reference semantics (rasterize.py:253): an EMPTY lights tuple
+        # still multiplies by the (zero) accumulated color weight
+        if params.lights is not None:
             normal_map = shading.normal_map_from_gathered(
                 normal_vertex_map, weight_map
             )

@@ -128,3 +128,13 @@ def test_texel_fast_path_matches_gather_sampling(reference_data):
         np.testing.assert_allclose(
             g_fast, g_slow, atol=1e-5 * scale, err_msg="ts=%d grad" % ts
         )
+
+
+def test_empty_lights_tuple_renders_black():
+    """Reference parity (rasterize.py:253-283): lights=() accumulates a
+    zero color-weight map, so the RGB channels come out black (lights=None
+    skips lighting entirely)."""
+    img_none = _render(None)
+    img_empty = _render(())
+    assert np.abs(img_none).max() > 0.1
+    np.testing.assert_array_equal(img_empty, np.zeros_like(img_empty))
