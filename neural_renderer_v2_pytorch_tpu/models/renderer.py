@@ -90,7 +90,7 @@ class Renderer(object):
             textures=textures,
             background_color=self.background_color,
             backgrounds=backgrounds,
-            lights=tuple(lights) if lights else None,
+            lights=tuple(lights) if lights is not None else None,
             texture_size=self.texture_size,
         )
         return rasterize_rgba(vertices, faces, params, self._hyperparams())
@@ -103,7 +103,7 @@ class Renderer(object):
             textures=textures,
             background_color=self.background_color,
             backgrounds=backgrounds,
-            lights=tuple(lights) if lights else None,
+            lights=tuple(lights) if lights is not None else None,
             texture_size=self.texture_size,
         )
         return rasterize_rgb(vertices, faces, params, self._hyperparams())
