@@ -58,6 +58,91 @@ def _pixel_grid(image_size, row_start=0, num_rows=None, dtype=jnp.float32):
     return xp[None, :], yp[:, None]  # [1, W], [H, 1]
 
 
+def face_constants(face_vertices):
+    """Per-face constants of the rasterization math: [..., 17] =
+    (A0,B0,C0, A1,B1,C1, A2,B2,C2, iz0,iz1,iz2, det, xmin,xmax,ymin,ymax)
+    for input [..., 3, 3] face vertices.
+
+    Every per-pixel quantity of the reference kernel
+    (rasterize_cuda_kernel.cu:94-139) is affine in the pixel coords
+    (w_i = yp*A_i + xp*B_i + C_i), the c1/c2/c3 inside-test cross
+    products are identically the scaled barycentrics w2/w0/w1, and
+    w0+w1+w2 equals the constant determinant.  This function is the
+    SINGLE source of those expressions: the XLA resolve, the Pallas
+    kernels, and the binning prepass all consume its output, so the
+    backends stay bit-identical by construction.
+    """
+    f = face_vertices
+    x0, y0, z0 = f[..., 0, 0], f[..., 0, 1], f[..., 0, 2]
+    x1, y1, z1 = f[..., 1, 0], f[..., 1, 1], f[..., 1, 2]
+    x2, y2, z2 = f[..., 2, 0], f[..., 2, 1], f[..., 2, 2]
+    C0 = x1 * y2 - x2 * y1
+    C1 = x2 * y0 - x0 * y2
+    C2 = x0 * y1 - x1 * y0
+    return jnp.stack(
+        (
+            x2 - x1, y1 - y2, C0,
+            x0 - x2, y2 - y0, C1,
+            x1 - x0, y0 - y1, C2,
+            1.0 / z0, 1.0 / z1, 1.0 / z2,
+            C0 + C1 + C2,
+            jnp.minimum(jnp.minimum(x0, x1), x2),
+            jnp.maximum(jnp.maximum(x0, x1), x2),
+            jnp.minimum(jnp.minimum(y0, y1), y2),
+            jnp.maximum(jnp.maximum(y0, y1), y2),
+        ),
+        axis=-1,
+    )
+
+
+def face_backside(coef):
+    """Backface predicate from the edge coefficients.
+
+    Culls faces with ``(y2-y0)*(x1-x0) < (y1-y0)*(x2-x0)``; with
+    B1 = y2-y0, A2 = x1-x0, B2 = y0-y1, A1 = x0-x2 this is exactly
+    ``B1*A2 < B2*A1`` on the same f32 products.
+
+    NOTE on the sign: the reference kernel source culls the OPPOSITE
+    inequality (rasterize_cuda_kernel.cu:100-104), but its own shipped
+    golden images (tests_chainer/data/*.png, validated by
+    tests_chainer/test_rasterize.py:72 at allclose atol=1e-2) were
+    rendered with this convention: on meshes with coincident
+    double-sided face pairs (e.g. the laptop test model) the goldens
+    show the faces the current reference source would cull.  We follow
+    the goldens -- the externally verifiable and physically intended
+    behavior (verified: flipping this sign takes the golden diff from
+    mean 2.4e-2 to 2.9e-4).
+    """
+    A1, B1 = coef[3], coef[4]
+    A2, B2 = coef[6], coef[7]
+    return B1 * A2 < B2 * A1
+
+
+def face_candidate(xp, yp, coef, iz, det, bbox, near, far):
+    """Shared per-pixel accept math for one face: returns (out, zp) where
+    ``out`` marks pixels the face does NOT cover (strict bbox reject via
+    the exact per-face min/max, inside test via the signs of the scaled
+    barycentrics, strict near/far clip -- NaN zp fails it) and ``zp`` is
+    the perspective-correct candidate depth.
+
+    Exact reference semantics (rasterize_cuda_kernel.cu:94-148) except
+    the per-face-constant degenerate and backface rejects, which callers
+    apply once per face.  Used verbatim by both the XLA resolve and the
+    Pallas kernels.
+    """
+    A0, B0, C0, A1, B1, C1, A2, B2, C2 = coef
+    xmin, xmax, ymin, ymax = bbox
+    out = (xp < xmin) | (xmax < xp) | (yp < ymin) | (ymax < yp)
+    w0 = yp * A0 + xp * B0 + C0
+    w1 = yp * A1 + xp * B1 + C1
+    w2 = yp * A2 + xp * B2 + C2
+    out |= w2 * w0 < 0
+    out |= w0 * w1 < 0
+    zp = det / (w0 * iz[0] + w1 * iz[1] + w2 * iz[2])
+    out |= ~((near < zp) & (zp < far))
+    return out, zp
+
+
 def _face_candidates(face_chunk, xp, yp, near, far, draw_backside):
     """Candidate perspective-correct depths for a chunk of faces.
 
@@ -69,61 +154,15 @@ def _face_candidates(face_chunk, xp, yp, near, far, draw_backside):
       zcand: [K, bs, H, W] candidate depth, +inf where the face does not
       cover / is culled / is clipped at that pixel.
     """
-    f = face_chunk[..., None, None]  # [K, bs, 3, 3, 1, 1]
-    x0, y0, z0 = f[:, :, 0, 0], f[:, :, 0, 1], f[:, :, 0, 2]
-    x1, y1, z1 = f[:, :, 1, 0], f[:, :, 1, 1], f[:, :, 1, 2]
-    x2, y2, z2 = f[:, :, 2, 0], f[:, :, 2, 1], f[:, :, 2, 2]
+    cs = face_constants(face_chunk)[..., None, None]   # [K, bs, 17, 1, 1]
+    c = tuple(cs[:, :, j] for j in range(17))
+    coef, iz, det, bbox = c[:9], c[9:12], c[12], c[13:17]
 
-    # The per-pixel math is written in the per-face-constant coefficient
-    # form shared with the Pallas kernels (resolve_pallas._face_scalars /
-    # _face_accept): every per-pixel quantity is affine in (xp, yp), the
-    # reference's c1/c2/c3 inside tests are identically w2/w0/w1, and
-    # w0+w1+w2 is the per-face determinant.  Same accept semantics as
-    # rasterize_cuda_kernel.cu:94-148, ~2.5x fewer per-pixel ops.
-
-    # strict bbox reject (kernel.cu:94-97) via exact per-face min/max
-    xmin = jnp.minimum(jnp.minimum(x0, x1), x2)
-    xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
-    ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
-    ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
-    out = (xp < xmin) | (xmax < xp) | (yp < ymin) | (ymax < yp)
-
-    # backface cull -- per-face scalar predicate.
-    # NOTE on the sign: the reference kernel source culls
-    # ``(y2-y0)*(x1-x0) > (y1-y0)*(x2-x0)`` (kernel.cu:100-104), but its own
-    # shipped golden images (tests_chainer/data/*.png, validated by
-    # tests_chainer/test_rasterize.py:72 at allclose atol=1e-2) were rendered
-    # with the OPPOSITE convention: on meshes with coincident double-sided
-    # face pairs (e.g. the laptop test model) the goldens show the faces the
-    # current source would cull.  We follow the goldens -- the externally
-    # verifiable and physically intended behavior (verified: flipping this
-    # sign takes the golden diff from mean 2.4e-2 to 2.9e-4).
-    if not draw_backside:
-        backside = (y2 - y0) * (x1 - x0) < (y1 - y0) * (x2 - x0)
-        out |= backside
-
-    # scaled barycentrics == the reference's inside-test cross products
-    # (c1 == w2, c2 == w0, c3 == w1; kernel.cu:107-115, 129-136)
-    C0 = x1 * y2 - x2 * y1
-    C1 = x2 * y0 - x0 * y2
-    C2 = x0 * y1 - x1 * y0
-    w0 = yp * (x2 - x1) + xp * (y1 - y2) + C0
-    w1 = yp * (x0 - x2) + xp * (y2 - y0) + C1
-    w2 = yp * (x1 - x0) + xp * (y0 - y1) + C2
-    out |= w2 * w0 < 0
-    out |= w0 * w1 < 0
-
-    # degenerate reject (kernel.cu:118-121); det == w0+w1+w2, per face
-    det = C0 + C1 + C2
+    out, zp = face_candidate(xp, yp, coef, iz, det, bbox, near, far)
+    # degenerate reject (kernel.cu:118-121); det is constant per face
     out |= jnp.abs(det) < DEGENERATE_EPS
-
-    # perspective-correct 1/zp = sum(w/z) / sum(w) (kernel.cu:139)
-    zp = det / (w0 * (1.0 / z0) + w1 * (1.0 / z1) + w2 * (1.0 / z2))
-
-    # near/far clip (kernel.cu:140-142), strict; NaN zp (0/0 on fully
-    # degenerate geometry) fails both strict comparisons and is rejected
-    out |= ~((near < zp) & (zp < far))
-
+    if not draw_backside:
+        out |= face_backside(coef)
     return jnp.where(out, jnp.inf, zp)
 
 

@@ -22,7 +22,8 @@ DMA -- and around not doing O(pixels x faces) work at all:
      per-face branching), and every face touches only the 8-aligned
      ``row_window``-row slabs covering its pixel rows -- a ~15 px face
      pays for a (16, 128) vector window, not a whole tile.
-  3. Per-face math is precomputed on the scalar core (``_face_constants``):
+  3. Per-face math is precomputed once in XLA (``resolve.face_constants``,
+     the single source of the rasterization math for every backend):
      all per-pixel quantities are affine in the pixel coords, the
      reference's c1/c2/c3 inside tests are identically the scaled
      barycentrics w2/w0/w1, and w0+w1+w2 is the per-face determinant,
@@ -50,63 +51,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEPTH_MIN_DELTA = 1e-4
-DEGENERATE_EPS = 1e-8
-
-
-def _face_constants(face_vertices):
-    """Per-face constants for the kernel, as an XLA prepass: [bs, nf, 17]
-    (A0,B0,C0,A1,B1,C1,A2,B2,C2, iz0,iz1,iz2, det, xmin,xmax,ymin,ymax).
-    Computed once per face on the host side so the kernel's scalar core
-    only reads SMEM instead of re-deriving them per (face, tile).  The
-    same expressions appear inline in ``resolve._face_candidates``; both
-    paths must stay textually identical for bit-exact parity.
-    """
-    f = face_vertices
-    x0, y0, z0 = f[..., 0, 0], f[..., 0, 1], f[..., 0, 2]
-    x1, y1, z1 = f[..., 1, 0], f[..., 1, 1], f[..., 1, 2]
-    x2, y2, z2 = f[..., 2, 0], f[..., 2, 1], f[..., 2, 2]
-    C0 = x1 * y2 - x2 * y1
-    C1 = x2 * y0 - x0 * y2
-    C2 = x0 * y1 - x1 * y0
-    return jnp.stack(
-        (
-            x2 - x1, y1 - y2, C0,
-            x0 - x2, y2 - y0, C1,
-            x1 - x0, y0 - y1, C2,
-            1.0 / z0, 1.0 / z1, 1.0 / z2,
-            C0 + C1 + C2,
-            jnp.minimum(jnp.minimum(x0, x1), x2),
-            jnp.maximum(jnp.maximum(x0, x1), x2),
-            jnp.minimum(jnp.minimum(y0, y1), y2),
-            jnp.maximum(jnp.maximum(y0, y1), y2),
-        ),
-        axis=-1,
-    )
+from .resolve import (
+    DEGENERATE_EPS,
+    DEPTH_MIN_DELTA,
+    face_backside,
+    face_candidate,
+    face_constants,
+)
 
 
 def _face_accept(xp, yp, coef, iz, det, bbox, depth, near, far):
-    """Vectorized accept mask + candidate depth for one face over a tile.
-
-    Exact reference semantics (rasterize_cuda_kernel.cu:94-148): strict
-    bbox reject (via the face's exact min/max), inside test via the signs
-    of the scaled barycentrics, perspective-correct zp, strict near/far
-    clip (NaN zp fails the clip), and the sequential z-buffer tolerance.
-    Degenerate and backface rejects are per-face constants handled by the
-    caller's scalar cull.
-    """
-    A0, B0, C0, A1, B1, C1, A2, B2, C2 = coef
-    xmin, xmax, ymin, ymax = bbox
-    out = (xp < xmin) | (xmax < xp) | (yp < ymin) | (ymax < yp)
-    w0 = yp * A0 + xp * B0 + C0
-    w1 = yp * A1 + xp * B1 + C1
-    w2 = yp * A2 + xp * B2 + C2
-    out |= w2 * w0 < 0
-    out |= w0 * w1 < 0
-    zp = det / (w0 * iz[0] + w1 * iz[1] + w2 * iz[2])
-    out |= ~((near < zp) & (zp < far))
+    """Accept mask + candidate depth for one face over a pixel window:
+    the shared per-pixel math (:func:`resolve.face_candidate` -- the
+    single source of the reference semantics for every backend) plus the
+    sequential z-buffer tolerance.  Degenerate and backface rejects are
+    per-face constants handled once by the binning prepass."""
+    out, zp = face_candidate(xp, yp, coef, iz, det, bbox, near, far)
     accept = ~out & (zp <= depth - DEPTH_MIN_DELTA)
-    return accept, zp, (w0, w1, w2)
+    return accept, zp
 
 
 def _row_windows(bbox, ty, tile_h, rw, image_size):
@@ -250,7 +212,7 @@ def _binned_kernel(
                 accepts = []
                 for j in range(G):
                     coef, iz, det, bbox, _fid = members[j]
-                    aj, zj, _ = _face_accept(
+                    aj, zj = _face_accept(
                         xp, yp, coef, iz, det, bbox, d, near, far
                     )
                     aj &= valids[j]
@@ -300,32 +262,29 @@ def _binned_kernel(
         jax.lax.fori_loop(0, (n_in_chunk + G - 1) // G, group_body, 0)
 
 
-def _bin_faces(face_vertices, image_size, n_tile_y, n_tile_x, tile_h, tile_w,
+def _bin_faces(consts, image_size, n_tile_y, n_tile_x, tile_h, tile_w,
                draw_backside):
     """Order-stable per-tile face binning (pure XLA prepass).
+
+    Args:
+      consts: [bs, nf, 17] per-face constants (:func:`resolve.face_constants`).
 
     Returns (order [bs, n_tiles, nf] int32, cnt [bs, n_tiles] int32): for
     each image tile, the face ids overlapping it (by the same strict
     pixel-centre bbox test the kernel would apply), compacted to the
     front in ascending id order.  Degenerate (|det| < 1e-8) and culled
-    backfaces are excluded here once instead of per (face, tile); both
-    tests use the identical f32 expressions as ``_face_constants``.
+    backfaces are excluded here once instead of per (face, tile), using
+    the same shared constants the kernel consumes.
     """
-    bs, nf = face_vertices.shape[:2]
-    x = face_vertices[..., 0]  # [bs, nf, 3]
-    y = face_vertices[..., 1]
-    x0, x1, x2 = x[..., 0], x[..., 1], x[..., 2]
-    y0, y1, y2 = y[..., 0], y[..., 1], y[..., 2]
+    bs, nf = consts.shape[:2]
+    coef = tuple(consts[..., j] for j in range(9))
+    det = consts[..., 12]
+    xmin, xmax = consts[..., 13], consts[..., 14]
+    ymin, ymax = consts[..., 15], consts[..., 16]
 
-    det = (x1 * y2 - x2 * y1) + (x2 * y0 - x0 * y2) + (x0 * y1 - x1 * y0)
     valid = jnp.abs(det) >= DEGENERATE_EPS
     if not draw_backside:
-        valid &= ~((y2 - y0) * (x1 - x0) < (y1 - y0) * (x2 - x0))
-
-    xmin = jnp.min(x, -1)
-    xmax = jnp.max(x, -1)
-    ymin = jnp.min(y, -1)
-    ymax = jnp.max(y, -1)
+        valid &= ~face_backside(coef)
 
     inv = 1.0 / image_size
     def lo(t0):  # NDC of a tile's first pixel centre
@@ -398,8 +357,9 @@ def _run_binned(
     n_tile_x = image_size // tile_w
     n_tiles = n_tile_y * n_tile_x
 
+    consts = face_constants(face_vertices)
     order, cnt = _bin_faces(
-        face_vertices, image_size, n_tile_y, n_tile_x, tile_h, tile_w,
+        consts, image_size, n_tile_y, n_tile_x, tile_h, tile_w,
         draw_backside,
     )
 
@@ -420,7 +380,7 @@ def _run_binned(
             0, 1, 3, 2
         )
 
-    consts_cm = bin_gather(_face_constants(face_vertices))
+    consts_cm = bin_gather(consts)
     ids = jnp.pad(order, ((0, 0), (0, 0), (0, pad)))
     ids = ids.reshape(bs, n_tiles * n_chunks, 1, face_chunk)
 
