@@ -18,6 +18,12 @@ import time
 
 import numpy as np
 
+# persistent compile cache: keeps driver/cold runs fast
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
 
 def main():
     import jax
