@@ -28,7 +28,7 @@ def main():
         rasterize_rgb,
         RasterizeParam,
     )
-    from neural_renderer_v2_pytorch_tpu.ops.resolve import weight_map_from_gathered
+    from neural_renderer_v2_pytorch_tpu.ops.resolve import weight_planes_from_gathered
     from neural_renderer_v2_pytorch_tpu.ops.resolve_pallas import (
         compute_face_index_map_pallas,
         resolve_gather_pallas,
@@ -93,15 +93,15 @@ def main():
     )(fv0)
 
     def s_wm(x):
-        wm = weight_map_from_gathered(x, fim0, S)
-        cm = shading.compute_coordinate_map_from(x, wm)
+        wm = weight_planes_from_gathered(x, fim0, S)
+        cm = shading.coordinate_planes(x, wm)
         return perturb(x, jnp.sum(cm))
 
     chain("weight+coordinate from gathered", s_wm, fvm0)
 
-    sil0 = (fim0 >= 0).astype(jnp.float32)[..., None]
-    cm0 = shading.compute_coordinate_map_from(
-        fvm0, weight_map_from_gathered(fvm0, fim0, S)
+    sil0 = (fim0 >= 0).astype(jnp.float32)[:, None]
+    cm0 = shading.coordinate_planes(
+        fvm0, weight_planes_from_gathered(fvm0, fim0, S)
     )
 
     def s_diff_bwd(x):

@@ -20,11 +20,15 @@ For a pixel row intensity I and incoming grad g, with step = 2/H:
   grad = maximum(grad_r_full, grad_l_full)
 
 where ``maximum(r, l)`` is 0 if max(r,l) <= 0 or |r-l| < 1e-4, else -r if
-r > l else l.  Same along x (axis 2).  Output grad_loss_xy concatenates
-(grad_x, grad_y) on the last axis.
+r > l else l.  Same along x.  Output grad_loss_xy stacks (grad_x, grad_y)
+on the channel axis.
 
-This is pure vectorized shift/pad arithmetic -- it maps directly onto the
-TPU VPU with full XLA fusion; no kernel is needed.
+Layout: the whole pipeline is channel-planar (NCHW) -- images are
+[bs, C, H, W] and coordinates [bs, 2, H, W] -- so every shift/product
+runs with the image width on the vector lanes (the reference's NHWC
+layout would put the C<=5 channel dim there: a 25-100x lane-utilization
+difference on TPU).  This is pure vectorized shift/pad arithmetic; no
+kernel is needed.
 """
 
 from __future__ import annotations
@@ -56,33 +60,27 @@ def _pad_shift(g, axis, side):
 
 
 def _coordinate_grad(images, grad_output):
-    """Compute grad w.r.t. coordinate_map.  images/grad: [bs, H, W, C].
-
-    Internally channel-planar (NCHW): every elementwise/shift op then runs
-    with the image width on the vector lanes instead of the C<=5 channel
-    dim (a 25-100x lane-utilization difference on TPU; ~2.5x on the
-    textured backward end to end).  Same arithmetic as the reference.
-    """
-    image_size = images.shape[1]
+    """Grad w.r.t. the coordinate map.  images/grad: [bs, C, H, W] planar;
+    returns [bs, 2, H, W] (x grads on channel 0, y on channel 1)."""
+    image_size = images.shape[2]
     step = 2.0 / image_size
-    I = jnp.transpose(images, (0, 3, 1, 2))       # [bs, C, H, W]
-    G = jnp.transpose(grad_output, (0, 3, 1, 2))
+    I, G = images, grad_output
 
-    # --- y (rows; axis 2 of NCHW) ---
+    # --- y (rows; axis 2) ---
     gyr = -jnp.sum((I[:, :, :-1] - I[:, :, 1:]) * G[:, :, 1:], axis=1) / step
     grad_y_r = _pad_shift(gyr, 1, "right") + _pad_shift(gyr, 1, "left")
     gyl = -jnp.sum((I[:, :, 1:] - I[:, :, :-1]) * G[:, :, :-1], axis=1) / step
     grad_y_l = _pad_shift(gyl, 1, "left") + _pad_shift(gyl, 1, "right")
     grad_y = maximum(grad_y_r, grad_y_l)          # [bs, H, W]
 
-    # --- x (columns; axis 3 of NCHW) ---
+    # --- x (columns; axis 3) ---
     gxr = -jnp.sum((I[:, :, :, :-1] - I[:, :, :, 1:]) * G[:, :, :, 1:], axis=1) / step
     grad_x_r = _pad_shift(gxr, 2, "right") + _pad_shift(gxr, 2, "left")
     gxl = -jnp.sum((I[:, :, :, 1:] - I[:, :, :, :-1]) * G[:, :, :, :-1], axis=1) / step
     grad_x_l = _pad_shift(gxl, 2, "left") + _pad_shift(gxl, 2, "right")
     grad_x = maximum(grad_x_r, grad_x_l)          # [bs, H, W]
 
-    return jnp.stack((grad_x, grad_y), axis=-1)   # [bs, H, W, 2]
+    return jnp.stack((grad_x, grad_y), axis=1)    # [bs, 2, H, W]
 
 
 @jax.custom_vjp
@@ -91,8 +89,8 @@ def differentiation(images, coordinates):
     ``coordinates`` on the backward pass.
 
     Args:
-      images: [bs, H, W, C] rendered channels.
-      coordinates: [bs, H, W, 2] per-pixel screen XY (coordinate_map).
+      images: [bs, C, H, W] rendered channels (planar).
+      coordinates: [bs, 2, H, W] per-pixel screen XY (coordinate_map).
     """
     del coordinates
     return images

@@ -7,9 +7,14 @@ Python layer re-gathers per-face data at every pixel (``to_map``,
 utils.py:104-114, whose autograd transpose is an atomicAdd scatter in the
 chainer twin, rasterize.py:94-115).  Here the winning face's vertex
 coordinates and auxiliary attributes come OUT of the resolve kernel
-directly (vector selects inside the face stream -- no gathers), and the
-backward is one fused masked segment-sum (deterministic scatter-add, no
-atomics).
+directly as channel planes (vector stores inside the face stream -- no
+gathers, no layout changes), and the backward is one fused MXU one-hot
+matmul scatter (deterministic, no atomics).
+
+Layout: everything is channel-planar (NCHW) -- the latched coordinate
+map is [bs, 9, H, W] and attributes [bs, A, H, W] -- matching the Pallas
+kernel's native output and the pipeline's layout, so no transposes occur
+on either side of the op.
 
 Gradient semantics match ``to_map`` exactly: d(face_data)[b, fim[p]] +=
 g[p] over foreground pixels; the face-index map itself carries no
@@ -29,7 +34,8 @@ from .resolve import compute_face_index_map
 
 def _scatter_to_faces(grad_map, face_index_map, num_faces):
     """[bs, H, W, D] pixel grads -> [bs, nf, D] per-face grads
-    (masked segment-sum; the transpose of the winner-gather)."""
+    (masked segment-sum; the transpose of the winner-gather).  XLA
+    fallback used off-TPU; the TPU path is scatter_to_faces_pallas."""
     bs = grad_map.shape[0]
     D = grad_map.shape[-1]
     flat_g = grad_map.reshape(bs, -1, D)
@@ -57,7 +63,7 @@ def resolve_and_gather(
     draw_backside,
     backend,
 ):
-    """Returns (face_index_map, face_vertex_map, attr_map).
+    """Returns (face_index_map, fvm_planar, attr_planes).
 
     Args:
       face_vertices: [bs, nf, 3, 3] NDC face vertices (differentiable).
@@ -67,8 +73,8 @@ def resolve_and_gather(
 
     Outputs:
       face_index_map: [bs, H, W] int32, -1 background (non-differentiable).
-      face_vertex_map: [bs, H, W, 3, 3], 0 on background.
-      attr_map: [bs, H, W, A] or None.
+      fvm_planar: [bs, 9, H, W] winner vertex coords, 0 on background.
+      attr_planes: [bs, A, H, W] or None.
     """
     return _forward(
         face_vertices, face_attrs, image_size, near, far, draw_backside, backend
@@ -76,10 +82,11 @@ def resolve_and_gather(
 
 
 def _forward(face_vertices, face_attrs, image_size, near, far, draw_backside, backend):
+    bs, nf = face_vertices.shape[:2]
     if backend == "pallas":
         from .resolve_pallas import resolve_gather_pallas
 
-        fim, fvm, attr_map = resolve_gather_pallas(
+        fim, fvm_planar, attr_planes = resolve_gather_pallas(
             jax.lax.stop_gradient(face_vertices),
             None if face_attrs is None else jax.lax.stop_gradient(face_attrs),
             image_size,
@@ -92,9 +99,14 @@ def _forward(face_vertices, face_attrs, image_size, near, far, draw_backside, ba
             jax.lax.stop_gradient(face_vertices),
             image_size, near, far, draw_backside,
         )
-        fvm = to_map(face_vertices, fim)
-        attr_map = None if face_attrs is None else to_map(face_attrs, fim)
-    return fim, fvm, attr_map
+        fvm_planar = to_map(
+            face_vertices.reshape(bs, nf, 9), fim
+        ).transpose(0, 3, 1, 2)
+        attr_planes = (
+            None if face_attrs is None
+            else to_map(face_attrs, fim).transpose(0, 3, 1, 2)
+        )
+    return fim, fvm_planar, attr_planes
 
 
 def _fwd(face_vertices, face_attrs, image_size, near, far, draw_backside, backend):
@@ -110,23 +122,29 @@ def _bwd(image_size, near, far, draw_backside, backend, residuals, g):
     fim, num_faces = residuals
     _, g_fvm, g_attr = g
     bs, H, W = fim.shape
-    g_fvm = g_fvm.reshape(bs, H, W, 9)
     has_attr = g_attr is not None and not isinstance(
         g_attr, jax.custom_derivatives.SymbolicZero
     )
     if backend == "pallas":
         from .resolve_pallas import scatter_to_faces_pallas
 
-        # one fused kernel call: coords and attrs share the one-hot matmul
-        g_all = jnp.concatenate([g_fvm, g_attr], -1) if has_attr else g_fvm
-        per_face = scatter_to_faces_pallas(g_all, fim, num_faces)
+        # one fused kernel call: coords and attrs share the one-hot
+        # matmul; the planar cotangents [bs, D, H, W] are already in the
+        # strip-major layout the kernel wants
+        g_all = jnp.concatenate([g_fvm, g_attr], 1) if has_attr else g_fvm
+        per_face = scatter_to_faces_pallas(
+            g_all, fim, num_faces, planar=True
+        )
         g_faces = per_face[..., :9].reshape(bs, num_faces, 3, 3)
         g_attrs = per_face[..., 9:] if has_attr else None
     else:
-        g_faces = _scatter_to_faces(g_fvm, fim, num_faces).reshape(
-            bs, num_faces, 3, 3
+        g_faces = _scatter_to_faces(
+            g_fvm.transpose(0, 2, 3, 1), fim, num_faces
+        ).reshape(bs, num_faces, 3, 3)
+        g_attrs = (
+            _scatter_to_faces(g_attr.transpose(0, 2, 3, 1), fim, num_faces)
+            if has_attr else None
         )
-        g_attrs = _scatter_to_faces(g_attr, fim, num_faces) if has_attr else None
     return g_faces, g_attrs
 
 

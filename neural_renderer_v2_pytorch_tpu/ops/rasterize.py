@@ -121,11 +121,11 @@ def compute_channel_maps(
     (parallel/render.py) shard_maps it over an image-tile mesh axis and
     runs the global stage (:func:`finalize_images`) under ordinary jit.
 
-    Returns:
-      images: [bs, num_rows, W, C] merged channels (pre-differentiation,
+    Returns (all channel-planar NCHW -- the pipeline's native layout):
+      images: [bs, C, num_rows, W] merged channels (pre-differentiation,
         pre-flip, background NOT yet blended).
-      coordinate_map: [bs, num_rows, W, 2].
-      foreground: [bs, num_rows, W, 1] float silhouette mask.
+      coordinate_map: [bs, 2, num_rows, W].
+      foreground: [bs, 1, num_rows, W] float silhouette mask.
     """
     if num_rows is None:
         num_rows = render_size
@@ -158,9 +158,9 @@ def compute_channel_maps(
         backend = "xla"
     if num_rows == render_size and face_axis is None:
         # fused resolve + winner-attribute gather: the winning face's
-        # vertex coords / UVs / normals come straight out of the resolve
-        # (Pallas: vector selects in the face stream; XLA: one to_map),
-        # eliminating all per-pixel face gathers from the shading stage.
+        # vertex coords / UVs / normals / texels come straight out of the
+        # resolve as channel planes, eliminating all per-pixel face
+        # gathers AND all layout changes from the shading stage.
         from .gather_resolve import resolve_and_gather
 
         attrs = []
@@ -171,27 +171,26 @@ def compute_channel_maps(
         if texel_attrs is not None:
             attrs.append(texel_attrs)
         face_attrs = jnp.concatenate(attrs, -1) if attrs else None
-        face_index_map, face_vertex_map, attr_map = resolve_and_gather(
+        face_index_map, fvm_planar, attr_planes = resolve_and_gather(
             face_vertices, face_attrs, render_size, hp.near, hp.far,
             hp.draw_backside, backend,
-        )
-        uv_map = None
-        normal_vertex_map = None
-        texel_map = None
+        )  # fvm_planar: [bs, 9, H, W]; attr_planes: [bs, A, H, W]
+        uv_planes = None
+        normal_vertex_planes = None
+        texel_planes = None
         off = 0
         if faces_textures is not None:
-            uv_map = attr_map[..., :6].reshape(bs, num_rows, render_size, 3, 2)
+            uv_planes = attr_planes[:, :6]
             off = 6
         if normals is not None:
-            normal_vertex_map = attr_map[..., off : off + 9].reshape(
-                bs, num_rows, render_size, 3, 3
-            )
+            normal_vertex_planes = attr_planes[:, off : off + 9]
             off += 9
         if texel_attrs is not None:
-            texel_map = attr_map[..., off:]
+            texel_planes = attr_planes[:, off:]
     else:
         # row-window / face-sharded path (image-tile or face sharding,
-        # parallel/): XLA resolve + to_map gathers
+        # parallel/): XLA resolve + to_map gathers, converted to the
+        # planar layout at this boundary
         if face_axis is not None:
             from ..parallel.faces import compute_face_index_map_face_sharded
 
@@ -209,55 +208,61 @@ def compute_channel_maps(
             )
         from .maps import to_map
 
-        face_vertex_map = to_map(face_vertices, face_index_map)
-        uv_map = (
-            to_map(faces_textures, face_index_map)
-            if faces_textures is not None else None
+        def planar(per_face, d):
+            m = to_map(per_face.reshape(bs, nf, d), face_index_map)
+            return m.transpose(0, 3, 1, 2)
+
+        fvm_planar = planar(face_vertices, 9)
+        uv_planes = (
+            planar(faces_textures, 6) if faces_textures is not None else None
         )
-        normal_vertex_map = (
-            to_map(normals, face_index_map) if normals is not None else None
+        normal_vertex_planes = (
+            planar(normals, 9) if normals is not None else None
         )
-        texel_map = (
-            to_map(texel_attrs, face_index_map)
+        texel_planes = (
+            planar(texel_attrs, texel_attrs.shape[-1])
             if texel_attrs is not None else None
         )
 
-    from .resolve import weight_map_from_gathered
+    from .resolve import weight_planes_from_gathered
 
-    weight_map = weight_map_from_gathered(
-        face_vertex_map, face_index_map, render_size, row_start=row_start
+    weight_planes = weight_planes_from_gathered(
+        fvm_planar, face_index_map, render_size, row_start=row_start
     )
-    coordinate_map = shading.compute_coordinate_map_from(face_vertex_map, weight_map)
+    coordinate_map = shading.coordinate_planes(fvm_planar, weight_planes)
 
-    foreground = (face_index_map >= 0).astype(jnp.float32)[..., None]
+    foreground = (face_index_map >= 0).astype(jnp.float32)[:, None]
 
     rgb_map = None
     if hp.draw_rgb:
-        if texel_map is not None:
+        if texel_planes is not None:
             ts = params.texture_size
-            rgb_map = shading.sample_textures_from_texels(
-                face_vertex_map[..., 2], uv_map, texel_map,
-                face_index_map, weight_map, hp.eps, ts,
+            rgb_map = shading.sample_textures_texel_planes(
+                fvm_planar, uv_planes, texel_planes,
+                face_index_map, weight_planes, hp.eps, ts,
                 params.textures.shape[3] // ts,
             )
         else:
+            # general (loaded-atlas) sampler stays NHWC around its gathers
             rgb_map = shading.sample_textures_from(
-                face_vertex_map[..., 2], uv_map, params.textures,
-                face_index_map, weight_map, hp.eps,
-            )
+                fvm_planar[:, (2, 5, 8)].transpose(0, 2, 3, 1),
+                uv_planes.transpose(0, 2, 3, 1).reshape(
+                    bs, num_rows, render_size, 3, 2
+                ),
+                params.textures,
+                face_index_map,
+                weight_planes.transpose(0, 2, 3, 1),
+                hp.eps,
+            ).transpose(0, 3, 1, 2)
         # reference semantics (rasterize.py:253): an EMPTY lights tuple
         # still multiplies by the (zero) accumulated color weight
         if params.lights is not None:
-            normal_map = shading.normal_map_from_gathered(
-                normal_vertex_map, weight_map
-            )
-            rgb_map = shading.apply_lights(rgb_map, normal_map, params.lights)
+            normal_map = shading.normal_planes(normal_vertex_planes, weight_planes)
+            rgb_map = shading.apply_lights_planar(rgb_map, normal_map, params.lights)
 
     depth_map = None
     if hp.draw_depth:
-        depth_map = shading.compute_depth_map_from(
-            face_vertex_map[..., 2], face_index_map, weight_map
-        )[..., None]
+        depth_map = shading.depth_plane(fvm_planar, face_index_map, weight_planes)
 
     # merge channels (rasterize.py:295-310)
     channels = []
@@ -269,31 +274,32 @@ def compute_channel_maps(
         channels.append(depth_map)
     if not channels:
         raise ValueError("nothing to draw")
-    images = channels[0] if len(channels) == 1 else jnp.concatenate(channels, axis=-1)
+    images = channels[0] if len(channels) == 1 else jnp.concatenate(channels, axis=1)
     return images, coordinate_map, foreground
 
 
 def finalize_images(images, coordinate_map, foreground, backgrounds, hp: RasterizeHyperparam):
-    """Global stage: background blend -> NMR differentiation hook -> NCHW
-    permute -> flip -> anti-alias pool.  Runs under ordinary jit; when the
-    inputs are sharded over an image-tile axis, XLA GSPMD inserts the 1-row
-    halo exchanges the differentiation backward needs."""
+    """Global stage: background blend -> NMR differentiation hook -> flip
+    -> anti-alias pool.  All inputs channel-planar (NCHW), so no layout
+    change happens anywhere in the pipeline.  Runs under ordinary jit;
+    when the inputs are sharded over an image-tile axis, XLA GSPMD
+    inserts the 1-row halo exchanges the differentiation backward needs.
+    """
     if backgrounds is not None and hp.draw_rgb:
         # blend (chainer rasterize.py:574-577): backgrounds pre-flipped in
         # H/W because the merged image is flipped below
-        bg = jnp.transpose(backgrounds, (0, 2, 3, 1))[:, ::-1, ::-1]
-        rgb = foreground * images[..., :3] + (1.0 - foreground) * bg
-        images = jnp.concatenate([rgb, images[..., 3:]], axis=-1)
+        bg = backgrounds[:, :, ::-1, ::-1]
+        rgb = foreground * images[:, :3] + (1.0 - foreground) * bg
+        images = jnp.concatenate([rgb, images[:, 3:]], axis=1)
 
     # the NMR gradient hook (identity forward)
     images = differentiation(images, coordinate_map)
 
-    # NCHW + flip H, W + AA 4-tap average pool (rasterize.py:315-328).
-    # The pool is a lax.reduce_window: both the reference's literal
-    # strided-slice chain and a reshape-mean compile to pathological copy
-    # sequences on TPU in the BACKWARD pass (2.5 ms vs 0.3 ms fwd+bwd at
-    # 512^2 x 4 channels); reduce_window has a native transpose.
-    images = jnp.transpose(images, (0, 3, 1, 2))
+    # flip H, W + AA 4-tap average pool (rasterize.py:315-328).  The pool
+    # is a lax.reduce_window: both the reference's literal strided-slice
+    # chain and a reshape-mean compile to pathological copy sequences on
+    # TPU in the BACKWARD pass (2.5 ms vs 0.3 ms fwd+bwd at 512^2 x 4
+    # channels); reduce_window has a native transpose.
     images = images[:, :, ::-1, ::-1]
     if hp.anti_aliasing:
         images = jax.lax.reduce_window(

@@ -268,6 +268,39 @@ def compute_weight_map(faces, face_index_map, image_size=None, row_start=0):
     return weight_map_from_gathered(g, face_index_map, image_size, row_start)
 
 
+def weight_planes_from_gathered(fvm_planar, face_index_map, image_size=None, row_start=0):
+    """Clamped, renormalized barycentric weights from planar latched winner
+    coordinates [bs, 9, H, W]; returns [bs, 3, H, W], gradient-stopped.
+
+    Same math as :func:`weight_map_from_gathered` (the reference weight
+    kernel, rasterize_cuda_kernel.cu:286-306) in the channel-planar layout
+    the pipeline uses -- every op runs with the image width on the vector
+    lanes instead of the 3-wide weight dim.
+    """
+    bs, _, H, W = fvm_planar.shape
+    if image_size is None:
+        image_size = W
+    xp, yp = _pixel_grid(image_size, row_start, H)
+
+    g = jax.lax.stop_gradient(fvm_planar)
+    x0, y0 = g[:, 0], g[:, 1]
+    x1, y1 = g[:, 3], g[:, 4]
+    x2, y2 = g[:, 6], g[:, 7]
+
+    w0 = yp * (x2 - x1) + xp * (y1 - y2) + (x1 * y2 - x2 * y1)
+    w1 = yp * (x0 - x2) + xp * (y2 - y0) + (x2 * y0 - x0 * y2)
+    w2 = yp * (x1 - x0) + xp * (y0 - y1) + (x0 * y1 - x1 * y0)
+    w = jnp.stack((w0, w1, w2), axis=1)               # [bs, 3, H, W]
+    w_sum = jnp.sum(w, axis=1, keepdims=True)
+    w = jnp.where(w_sum < 0, -w, w)
+    w = jnp.maximum(w, 0.0)
+    w_sum = jnp.sum(w, axis=1, keepdims=True)
+    w = jnp.clip(w / w_sum, 0.0, 1.0)
+
+    w = jnp.where((face_index_map >= 0)[:, None], w, 0.0)
+    return jax.lax.stop_gradient(w)
+
+
 @functools.partial(jax.jit, static_argnames=("image_size",))
 def weight_map_from_gathered(face_vertex_map, face_index_map, image_size=None, row_start=0):
     """Weight map from the pre-gathered winner vertices [bs,H,W,3,3]

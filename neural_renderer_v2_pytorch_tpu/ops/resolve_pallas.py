@@ -512,25 +512,19 @@ def resolve_gather_pallas(
       face_attrs: [bs, nf, A] float32 auxiliary per-face attributes to
         latch for the winning face (e.g. flattened UV triangles), or None.
 
-    Returns:
+    Returns (channel-planar, the kernel's native layout):
       (face_index_map [bs,H,W] i32,
-       face_vertex_map [bs,H,W,3,3] f32 -- 0 on background,
-       attr_map [bs,H,W,A] f32 or None).
+       fvm_planar [bs,9,H,W] f32 winner vertex coords -- 0 on background,
+       attr_planes [bs,A,H,W] f32 or None).
 
     Gradients are wired up by ``ops.gather_resolve.resolve_and_gather``
     (scatter-add backward); this function itself is non-differentiable.
     """
-    bs = face_vertices.shape[0]
-    index, coords, attr_map = _run_binned(
+    index, coords, attr_planes = _run_binned(
         face_vertices, face_attrs, image_size, near, far, draw_backside,
         face_chunk, tile, row_window, True, interpret,
     )
-    face_vertex_map = coords.transpose(0, 2, 3, 1).reshape(
-        bs, image_size, image_size, 3, 3
-    )
-    if attr_map is not None:
-        attr_map = attr_map.transpose(0, 2, 3, 1)
-    return index, face_vertex_map, attr_map
+    return index, coords, attr_planes
 
 
 def _scatter_kernel(
@@ -605,7 +599,8 @@ def _scatter_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_faces", "strip", "face_chunk", "interpret")
+    jax.jit,
+    static_argnames=("num_faces", "strip", "face_chunk", "interpret", "planar"),
 )
 def scatter_to_faces_pallas(
     grad_map,
@@ -614,8 +609,11 @@ def scatter_to_faces_pallas(
     strip=4096,
     face_chunk=64,
     interpret=False,
+    planar=False,
 ):
-    """[bs, H, W, D] pixel grads -> [bs, num_faces, D] per-face grads.
+    """Pixel grads -> [bs, num_faces, D] per-face grads.  ``grad_map`` is
+    [bs, H, W, D], or [bs, D, H, W] when ``planar`` (the pipeline's
+    layout -- cheaper: the strip reshape stays plane-major).
 
     Pallas TPU replacement for the XLA segment-sum in
     ``gather_resolve._scatter_to_faces`` (the backward of the fused
@@ -624,7 +622,10 @@ def scatter_to_faces_pallas(
     ``_scatter_kernel``).  Defaults tuned on v5e (teapot @512^2, D=9:
     0.62 ms vs 2.86 ms for the XLA segment-sum).
     """
-    bs, H, W, D = grad_map.shape
+    if planar:
+        bs, D, H, W = grad_map.shape
+    else:
+        bs, H, W, D = grad_map.shape
     P = H * W
     strip = min(strip, P)
     while P % strip:
@@ -637,7 +638,10 @@ def scatter_to_faces_pallas(
 
     fim_flat = face_index_map.reshape(bs, n_strips, 1, strip)
     # coord-planar strips: [bs, n_strips, D, T] (lane dim = pixels)
-    grad_flat = grad_map.reshape(bs, n_strips, strip, D).transpose(0, 1, 3, 2)
+    if planar:
+        grad_flat = grad_map.reshape(bs, D, n_strips, strip).transpose(0, 2, 1, 3)
+    else:
+        grad_flat = grad_map.reshape(bs, n_strips, strip, D).transpose(0, 1, 3, 2)
 
     # exact strip-chunk occupancy: does strip s contain any pixel whose
     # winning face lies in chunk c?  (bg pixels -> chunk -1, matches none)

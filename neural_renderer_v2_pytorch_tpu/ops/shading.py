@@ -303,3 +303,146 @@ def apply_lights(rgb_map, normal_map, lights):
         else:
             raise TypeError("unknown light type: %r" % (light,))
     return rgb_map * color_weight_map
+
+
+# ---------------------------------------------------------------------------
+# Channel-planar (NCHW) variants: the pipeline's native layout.  Every map
+# is [bs, C, H, W] so elementwise work runs with the image width on the
+# vector lanes; the NHWC variants above keep the reference-shaped public
+# API (and serve the to_map/row-window paths).
+
+
+def coordinate_planes(fvm_planar, weight_planes):
+    """Barycentric screen-XY map [bs, 2, H, W] from planar latched winner
+    coordinates [bs, 9, H, W] and weights [bs, 3, H, W].  THE gradient
+    port: the NMR backward flows into vertices only through this map
+    (weights are a stopped constant)."""
+    w0, w1, w2 = weight_planes[:, 0], weight_planes[:, 1], weight_planes[:, 2]
+    cx = fvm_planar[:, 0] * w0 + fvm_planar[:, 3] * w1 + fvm_planar[:, 6] * w2
+    cy = fvm_planar[:, 1] * w0 + fvm_planar[:, 4] * w1 + fvm_planar[:, 7] * w2
+    return jnp.stack((cx, cy), axis=1)
+
+
+def depth_plane(fvm_planar, face_index_map, weight_planes):
+    """Perspective-correct depth [bs, 1, H, W] (reference rasterize.py:80-88)."""
+    z0, z1, z2 = fvm_planar[:, 2], fvm_planar[:, 5], fvm_planar[:, 8]
+    w0, w1, w2 = weight_planes[:, 0], weight_planes[:, 1], weight_planes[:, 2]
+    d = 1.0 / (w0 / z0 + w1 / z1 + w2 / z2)
+    return jnp.where((face_index_map >= 0)[:, None], d[:, None], 0.0)
+
+
+def normal_planes(normal_vertex_planes, weight_planes, smooth=True):
+    """Smoothed per-pixel normals [bs, 3, H, W] from the planar latched
+    per-vertex normals [bs, 9, H, W]."""
+    n = normal_vertex_planes.reshape(
+        normal_vertex_planes.shape[0], 3, 3, *normal_vertex_planes.shape[2:]
+    )  # [bs, vertex, xyz, H, W]
+    if smooth:
+        return jnp.sum(weight_planes[:, :, None] * n, axis=1)
+    return jnp.mean(n, axis=1)
+
+
+def apply_lights_planar(rgb_planes, normal_map_planes, lights):
+    """Planar twin of :func:`apply_lights` (reference rasterize.py:252-283);
+    rgb/normals are [bs, 3, H, W]."""
+    color_weight = jnp.zeros_like(normal_map_planes)
+    for light in lights:
+        if isinstance(light, light_lib.AmbientLight):
+            color_weight += jnp.broadcast_to(
+                light.color[:, :, None, None], color_weight.shape
+            )
+        elif isinstance(light, light_lib.DirectionalLight):
+            intensity = jnp.sum(
+                -light.direction[:, :, None, None] * normal_map_planes, axis=1
+            )
+            intensity = jnp.abs(intensity) if light.backside else jax.nn.relu(intensity)
+            color_weight += intensity[:, None] * light.color[:, :, None, None]
+        elif isinstance(light, light_lib.SpecularLight):
+            intensity = -normal_map_planes[:, 2]  # (0,0,1) . -normal
+            intensity = jnp.abs(intensity) if light.backside else jax.nn.relu(intensity)
+            alpha = light.alpha
+            if alpha is None:
+                alpha = jnp.ones(light.color.shape[0], dtype=jnp.float32)
+            intensity = intensity ** alpha[:, None, None]
+            color_weight += intensity[:, None] * light.color[:, :, None, None]
+        else:
+            raise TypeError("unknown light type: %r" % (light,))
+    return rgb_planes * color_weight
+
+
+def sample_textures_texel_planes(
+    fvm_planar, uv_planes, texel_planes, face_index_map, weight_planes,
+    eps, texture_size, tile_width,
+):
+    """Planar twin of :func:`sample_textures_from_texels`: gather-free
+    bilinear sampling from per-face latched texel patches.
+
+    Args:
+      fvm_planar: [bs, 9, H, W] latched winner coords (z at planes 2,5,8).
+      uv_planes: [bs, 6, H, W] latched UV triangle (u0,v0,u1,v1,u2,v2).
+      texel_planes: [bs, ts*ts*3, H, W] latched patch texels.
+      weight_planes: [bs, 3, H, W].
+
+    Returns [bs, 3, H, W] RGB.
+    """
+    ts = texture_size
+    fg = (face_index_map >= 0)[:, None]
+    z = (fvm_planar[:, 2], fvm_planar[:, 5], fvm_planar[:, 8])
+    w = (weight_planes[:, 0], weight_planes[:, 1], weight_planes[:, 2])
+    u = (uv_planes[:, 0], uv_planes[:, 2], uv_planes[:, 4])
+    v = (uv_planes[:, 1], uv_planes[:, 3], uv_planes[:, 5])
+
+    # perspective-correct UV with the reference's epsilons
+    # (rasterize.py:113-121): divide by z, multiply by the interpolated
+    # depth, clamp into the face's own uv-bbox minus eps
+    depth = 1.0 / (
+        w[0] / (z[0] + 1e-10) + 1e-10
+        + w[1] / (z[1] + 1e-10) + 1e-10
+        + w[2] / (z[2] + 1e-10) + 1e-10
+    )
+
+    def interp(c):
+        val = (
+            w[0] * c[0] / (z[0] + 1e-10)
+            + w[1] * c[1] / (z[1] + 1e-10)
+            + w[2] * c[2] / (z[2] + 1e-10)
+        ) * depth
+        lo = jnp.minimum(jnp.minimum(c[0], c[1]), c[2])
+        hi = jnp.maximum(jnp.maximum(c[0], c[1]), c[2]) - eps
+        return jnp.where(fg[:, 0], jnp.clip(val, lo, hi), 0.0)
+
+    x_f = interp(u)
+    y_f = interp(v)
+
+    fid = jnp.maximum(face_index_map, 0)
+    x_f = x_f - ((fid % tile_width) * ts).astype(jnp.float32)
+    y_f = y_f - ((fid // tile_width) * ts).astype(jnp.float32)
+    x_f_f = jnp.floor(x_f)
+    y_f_f = jnp.floor(y_f)
+    w1_ = (y_f_f + 1 - y_f) * (x_f_f + 1 - x_f)
+    w2_ = (y_f_f + 1 - y_f) * (x_f - x_f_f)
+    w3_ = (y_f - y_f_f) * (x_f_f + 1 - x_f)
+    w4_ = (y_f - y_f_f) * (x_f - x_f_f)
+
+    bs = texel_planes.shape[0]
+    texels = texel_planes.reshape(bs, ts * ts, 3, *texel_planes.shape[2:])
+    if ts == 2:
+        t1, t2, t3, t4 = (texels[:, t] for t in range(4))
+    else:
+        xi_f = jnp.clip(x_f_f.astype(jnp.int32), 0, ts - 1)
+        yi_f = jnp.clip(y_f_f.astype(jnp.int32), 0, ts - 1)
+        xi_c = jnp.clip(xi_f + 1, 0, ts - 1)
+        yi_c = jnp.clip(yi_f + 1, 0, ts - 1)
+
+        def tap(xi, yi):
+            t = (yi * ts + xi)[:, None]                  # [bs, 1, H, W]
+            sel = t == jnp.arange(ts * ts)[None, :, None, None]
+            return jnp.sum(sel[:, :, None] * texels, axis=1)
+
+        t1, t2, t3, t4 = tap(xi_f, yi_f), tap(xi_c, yi_f), tap(xi_f, yi_c), tap(xi_c, yi_c)
+
+    images = (
+        w1_[:, None] * t1 + w2_[:, None] * t2
+        + w3_[:, None] * t3 + w4_[:, None] * t4
+    )
+    return jnp.where(fg, images, 0.0)

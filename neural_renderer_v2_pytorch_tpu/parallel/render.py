@@ -95,7 +95,12 @@ def rasterize_core_sharded(vertices, faces, params, hyperparams, mesh):
         P("data") if params.textures is not None else P(),
         P("data"),                  # lights pytree prefix (batch-major leaves)
     )
-    out_specs = (P("data", "tile"), P("data", "tile"), P("data", "tile"))
+    # planar NCHW outputs: rows (the tile axis) are dim 2
+    out_specs = (
+        P("data", None, "tile"),
+        P("data", None, "tile"),
+        P("data", None, "tile"),
+    )
 
     images, coords, fg = _shard_map(local_fn, mesh, in_specs, out_specs)(
         vertices,

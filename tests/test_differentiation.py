@@ -26,13 +26,17 @@ def test_differentiation_backward_matches_finite_shift():
     noise = rng.normal(size=(10, 32, 32, 3)).astype("float32")
     step = 2 / 32.0
 
-    images_j = jnp.asarray(images)
-    noise_j = jnp.asarray(noise)
+    # the op is channel-planar (NCHW); the oracle below stays in NHWC
+    images_j = jnp.asarray(images.transpose(0, 3, 1, 2))
+    noise_j = jnp.asarray(noise.transpose(0, 3, 1, 2))
 
     def loss_fn(coords):
         return jnp.sum(nr.differentiation(images_j, coords) * noise_j)
 
-    grad_coordinates = np.asarray(jax.grad(loss_fn)(jnp.asarray(coordinates)))
+    grad_planar = np.asarray(
+        jax.grad(loss_fn)(jnp.asarray(coordinates.transpose(0, 3, 1, 2)))
+    )
+    grad_coordinates = grad_planar.transpose(0, 2, 3, 1)
 
     for _ in range(100):
         yi = rng.randint(1, 31)
@@ -76,8 +80,8 @@ def test_differentiation_backward_matches_finite_shift():
 
 def test_differentiation_forward_is_identity():
     rng = np.random.RandomState(1)
-    images = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype("float32"))
-    coords = jnp.zeros((2, 8, 8, 2), jnp.float32)
+    images = jnp.asarray(rng.normal(size=(2, 3, 8, 8)).astype("float32"))
+    coords = jnp.zeros((2, 2, 8, 8), jnp.float32)
     out = nr.differentiation(images, coords)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(images))
 
