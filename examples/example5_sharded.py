@@ -50,11 +50,19 @@ def main():
         rasterize_silhouettes_sharded,
     )
 
+    # use the largest power-of-two device count (the tile axis must
+    # divide the render height), split data/tile/face like the dry run
     n = len(jax.devices())
-    data = 2 if n % 2 == 0 and n >= 4 else 1
-    face = 2 if (n // data) % 2 == 0 and n // data >= 4 else 1
-    mesh = make_mesh(data=data, tile=n // (data * face), face=face)
-    print(f"devices: {n}, mesh: {dict(mesh.shape)}")
+    n2 = 1
+    while n2 * 2 <= n:
+        n2 *= 2
+    data = 2 if n2 >= 4 else 1
+    face = 2 if n2 // data >= 4 else 1
+    mesh = make_mesh(
+        data=data, tile=n2 // (data * face), face=face,
+        devices=jax.devices()[:n2],
+    )
+    print(f"devices: {n} (using {n2}), mesh: {dict(mesh.shape)}")
 
     vertices, faces = nr.load_obj(args.input_file)
     bs = 2 * data
@@ -77,7 +85,10 @@ def main():
     state = opt.init(v)
 
     @jax.jit
-    def step(v, state):
+    def step(v, state, target):
+        # NOTE: target passed as an argument -- closure-capturing a jnp
+        # device array into a jit costs ~29 ms per execution on tunneled
+        # TPUs (see CLAUDE.md / README measurement notes)
         def loss_fn(v):
             vb = jnp.broadcast_to(v[None], (bs,) + v.shape)
             tv = perspective(look_at(vb, eyes), angle=30.0)
@@ -89,7 +100,7 @@ def main():
         return optax.apply_updates(v, updates), state, loss
 
     for i in range(args.num_steps):
-        v, state, loss = step(v, state)
+        v, state, loss = step(v, state, target)
         if i % 10 == 0 or i == args.num_steps - 1:
             print(f"step {i}: loss {float(loss):.6f}")
 

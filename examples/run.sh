@@ -6,4 +6,4 @@ python example1.py "$@"
 python example2.py "$@"
 python example3.py "$@"
 python example4.py "$@"
-python example5_sharded.py
+python example5_sharded.py "$@"

@@ -148,3 +148,26 @@ def test_fuzz_random_scenes_resolve_and_scatter():
         )
         scale = max(np.abs(r2).max(), 1e-6)
         np.testing.assert_allclose(p2, r2, atol=1e-4 * scale)
+
+
+def test_scatter_planar_layout_matches_nhwc():
+    """gather_resolve's backward always uses the planar=True layout on
+    TPU; guard it against the NHWC-layout oracle."""
+    from neural_renderer_v2_pytorch_tpu.ops.resolve_pallas import (
+        scatter_to_faces_pallas,
+    )
+
+    rng = np.random.RandomState(9)
+    nf = 41
+    fim = jnp.asarray(rng.randint(-1, nf, size=(2, 32, 32)).astype("int32"))
+    g = rng.randn(2, 32, 32, 6).astype("float32")
+    nhwc = np.asarray(
+        scatter_to_faces_pallas(jnp.asarray(g), fim, nf, interpret=True)
+    )
+    planar = np.asarray(
+        scatter_to_faces_pallas(
+            jnp.asarray(g.transpose(0, 3, 1, 2)), fim, nf,
+            interpret=True, planar=True,
+        )
+    )
+    np.testing.assert_array_equal(planar, nhwc)
