@@ -531,7 +531,7 @@ def _scatter_kernel(
     mask_ref,    # [1, n_strips, n_chunks] int32 in SMEM: strip-chunk occupancy
     fim_ref,     # [1, 1, 1, T] int32: face-index map strip (global face ids)
     grad_ref,    # [1, 1, D, T] f32: per-pixel gradients strip, coord-planar
-    out_ref,     # [1, nf_p, D] f32: THE WHOLE per-face gradient accumulator
+    out_ref,     # [1, D, nf_p] f32: THE WHOLE per-face gradient accumulator
     *,
     strip,       # T: pixels per strip
     face_chunk,  # K
@@ -540,7 +540,7 @@ def _scatter_kernel(
 ):
     """Pixel->face gradient scatter as MXU one-hot matmuls.
 
-    out[f, :] = sum over pixels p of (fim[p] == f) * grad[:, p]
+    out[:, f] = sum over pixels p of (fim[p] == f) * grad[:, p]
 
     This is the transpose of the winner-attribute gather (the reference's
     ``to_map`` backward, an atomicAdd scatter in the chainer twin,
@@ -548,10 +548,14 @@ def _scatter_kernel(
     and contribute nothing, so no masking is needed.
 
     Design notes (why this shape):
-      * The full [nf_p, D] accumulator is tiny (faces x ~9..24 floats) and
-        stays VMEM-resident for the whole grid, so pixel strips stream
-        through exactly ONCE -- HBM traffic is one read of the gradient
-        image, not one per face chunk.
+      * The full accumulator is tiny (faces x ~9..24 floats) and stays
+        VMEM-resident for the whole grid, so pixel strips stream through
+        exactly ONCE -- HBM traffic is one read of the gradient image,
+        not one per face chunk.  It is laid out [D, nf_p] -- faces on the
+        LANES -- because a [nf_p, D] layout lane-pads D to 128 whenever
+        XLA requests a tiled result layout (80 MB of VMEM at 157K faces,
+        a compile-time OOM observed inside fused backward programs).
+        Chunk stores land at 128-aligned lane offsets.
       * Within a strip, a ``fori_loop`` over face chunks is predicated by
         an exact occupancy table (does this strip contain any winner from
         chunk c?); mesh face ids are spatially coherent, so a strip
@@ -584,15 +588,16 @@ def _scatter_kernel(
             )
             one_hot = (fim == ids).astype(jnp.bfloat16)   # [K, T]
 
-            def dot_t(a, b):  # [K, T] x [D, T] -> [K, D], contract lanes
+            def dot_t(a, b):  # [D, T] x [K, T] -> [D, K], contract lanes
                 return jax.lax.dot_general(
                     a, b,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
 
-            acc = dot_t(one_hot, g_hi) + dot_t(one_hot, g_lo)
-            out_ref[0, pl.ds(c * face_chunk, face_chunk), :] += acc
+            acc = dot_t(g_hi, one_hot) + dot_t(g_lo, one_hot)
+            col = pl.multiple_of(c * face_chunk, 128)
+            out_ref[0, :, pl.ds(col, face_chunk)] += acc
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -632,6 +637,8 @@ def scatter_to_faces_pallas(
         strip //= 2
     n_strips = P // strip
 
+    # lane-aligned chunk stores need K % 128 == 0
+    face_chunk = max(128, (face_chunk + 127) // 128 * 128)
     pad = (-num_faces) % face_chunk
     nf_p = num_faces + pad
     n_chunks = nf_p // face_chunk
@@ -671,11 +678,11 @@ def scatter_to_faces_pallas(
             pl.BlockSpec((1, 1, 1, strip), lambda b, t: (b, t, 0, 0)),
             pl.BlockSpec((1, 1, D, strip), lambda b, t: (b, t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, nf_p, D), lambda b, t: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bs, nf_p, D), jnp.float32),
+        out_specs=pl.BlockSpec((1, D, nf_p), lambda b, t: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bs, D, nf_p), jnp.float32),
         interpret=interpret,
     )(mask, fim_flat, grad_flat)
-    return out[:, :num_faces]
+    return out[:, :, :num_faces].transpose(0, 2, 1)
 
 
 def compute_face_index_map_pallas(
