@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .maps import to_map
 from .resolve import compute_face_index_map
@@ -50,18 +51,27 @@ def _scatter_to_faces(grad_map, face_index_map, num_faces):
     return jax.vmap(per_batch)(flat_g, safe_i)
 
 
+def _interpret():
+    """Pallas kernels run compiled on TPU, interpreted elsewhere (the
+    interpret path is pure jax ops -- used by the CPU test mesh and the
+    driver's multichip dryrun)."""
+    return jax.default_backend() != "tpu"
+
+
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(2, 3, 4, 5, 6),
+    nondiff_argnums=(3, 4, 5, 6, 7, 8),
 )
 def resolve_and_gather(
     face_vertices,
     face_attrs,
+    row_start,
     image_size,
     near,
     far,
     draw_backside,
     backend,
+    num_rows,
 ):
     """Returns (face_index_map, fvm_planar, attr_planes).
 
@@ -69,19 +79,24 @@ def resolve_and_gather(
       face_vertices: [bs, nf, 3, 3] NDC face vertices (differentiable).
       face_attrs: [bs, nf, A] auxiliary per-face attributes
         (differentiable), or None.
+      row_start: first image row to render (int scalar; may be traced --
+        the tile-sharded path passes ``axis_index('tile') * rows``).
       backend: 'pallas' (fused kernel) or 'xla' (resolve + to_map gathers).
+      num_rows: rows to render (static), or None for the full image.
 
-    Outputs:
+    Outputs (H = num_rows):
       face_index_map: [bs, H, W] int32, -1 background (non-differentiable).
       fvm_planar: [bs, 9, H, W] winner vertex coords, 0 on background.
       attr_planes: [bs, A, H, W] or None.
     """
     return _forward(
-        face_vertices, face_attrs, image_size, near, far, draw_backside, backend
+        face_vertices, face_attrs, row_start, image_size, near, far,
+        draw_backside, backend, num_rows,
     )
 
 
-def _forward(face_vertices, face_attrs, image_size, near, far, draw_backside, backend):
+def _forward(face_vertices, face_attrs, row_start, image_size, near, far,
+             draw_backside, backend, num_rows):
     bs, nf = face_vertices.shape[:2]
     if backend == "pallas":
         from .resolve_pallas import resolve_gather_pallas
@@ -93,11 +108,15 @@ def _forward(face_vertices, face_attrs, image_size, near, far, draw_backside, ba
             near,
             far,
             draw_backside,
+            row_start=row_start,
+            num_rows=num_rows,
+            interpret=_interpret(),
         )
     else:
         fim = compute_face_index_map(
             jax.lax.stop_gradient(face_vertices),
             image_size, near, far, draw_backside,
+            row_start=row_start, num_rows=num_rows,
         )
         fvm_planar = to_map(
             face_vertices.reshape(bs, nf, 9), fim
@@ -109,16 +128,18 @@ def _forward(face_vertices, face_attrs, image_size, near, far, draw_backside, ba
     return fim, fvm_planar, attr_planes
 
 
-def _fwd(face_vertices, face_attrs, image_size, near, far, draw_backside, backend):
+def _fwd(face_vertices, face_attrs, row_start, image_size, near, far,
+         draw_backside, backend, num_rows):
     out = _forward(
-        face_vertices, face_attrs, image_size, near, far, draw_backside, backend
+        face_vertices, face_attrs, row_start, image_size, near, far,
+        draw_backside, backend, num_rows,
     )
     fim = out[0]
     residuals = (fim, face_vertices.shape[1])
     return out, residuals
 
 
-def _bwd(image_size, near, far, draw_backside, backend, residuals, g):
+def _bwd(image_size, near, far, draw_backside, backend, num_rows, residuals, g):
     fim, num_faces = residuals
     _, g_fvm, g_attr = g
     bs, H, W = fim.shape
@@ -133,7 +154,7 @@ def _bwd(image_size, near, far, draw_backside, backend, residuals, g):
         # strip-major layout the kernel wants
         g_all = jnp.concatenate([g_fvm, g_attr], 1) if has_attr else g_fvm
         per_face = scatter_to_faces_pallas(
-            g_all, fim, num_faces, planar=True
+            g_all, fim, num_faces, planar=True, interpret=_interpret()
         )
         g_faces = per_face[..., :9].reshape(bs, num_faces, 3, 3)
         g_attrs = per_face[..., 9:] if has_attr else None
@@ -145,7 +166,9 @@ def _bwd(image_size, near, far, draw_backside, backend, residuals, g):
             _scatter_to_faces(g_attr.transpose(0, 2, 3, 1), fim, num_faces)
             if has_attr else None
         )
-    return g_faces, g_attrs
+    # row_start is an integer scalar: its cotangent is the trivial float0
+    g_row_start = np.zeros((), jax.dtypes.float0)
+    return g_faces, g_attrs, g_row_start
 
 
 resolve_and_gather.defvjp(_fwd, _bwd)

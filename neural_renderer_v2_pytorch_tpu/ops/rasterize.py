@@ -81,7 +81,7 @@ class RasterizeParam:
     )
     # When set, ``textures`` is a create_textures-style per-face tiled
     # atlas with this texture_size: sampling switches to the gather-free
-    # latched-texel fast path (ops/shading.py sample_textures_from_texels).
+    # latched-texel fast path (ops/shading.py sample_textures_texel_planes).
     # Leave None for arbitrary (loaded) atlases.
     texture_size: Optional[int] = flax.struct.field(
         pytree_node=False, default=None
@@ -152,15 +152,16 @@ def compute_channel_maps(
         )  # [bs, nf, ts*ts*3]
 
     backend = _resolve_backend(hp.backend)
-    if backend == "pallas" and render_size % 8:
+    if backend == "pallas" and (render_size % 8 or num_rows % 8):
         # the Pallas kernel needs 8-row-aligned tiles; odd sizes take the
         # (bit-identical) XLA path
         backend = "xla"
-    if num_rows == render_size and face_axis is None:
-        # fused resolve + winner-attribute gather: the winning face's
-        # vertex coords / UVs / normals / texels come straight out of the
-        # resolve as channel planes, eliminating all per-pixel face
-        # gathers AND all layout changes from the shading stage.
+    if face_axis is None:
+        # fused resolve + winner-attribute gather (full image OR a
+        # tile-sharded row window): the winning face's vertex coords /
+        # UVs / normals / texels come straight out of the resolve as
+        # channel planes, eliminating all per-pixel face gathers AND all
+        # layout changes from the shading stage.
         from .gather_resolve import resolve_and_gather
 
         attrs = []
@@ -172,8 +173,8 @@ def compute_channel_maps(
             attrs.append(texel_attrs)
         face_attrs = jnp.concatenate(attrs, -1) if attrs else None
         face_index_map, fvm_planar, attr_planes = resolve_and_gather(
-            face_vertices, face_attrs, render_size, hp.near, hp.far,
-            hp.draw_backside, backend,
+            face_vertices, face_attrs, row_start, render_size, hp.near,
+            hp.far, hp.draw_backside, backend, num_rows,
         )  # fvm_planar: [bs, 9, H, W]; attr_planes: [bs, A, H, W]
         uv_planes = None
         normal_vertex_planes = None
@@ -188,24 +189,19 @@ def compute_channel_maps(
         if texel_attrs is not None:
             texel_planes = attr_planes[:, off:]
     else:
-        # row-window / face-sharded path (image-tile or face sharding,
-        # parallel/): XLA resolve + to_map gathers, converted to the
-        # planar layout at this boundary
-        if face_axis is not None:
-            from ..parallel.faces import compute_face_index_map_face_sharded
+        # face-sharded path (parallel/faces.py): each shard resolves its
+        # face range (Pallas kernel per shard), the winners combine with
+        # the ordered z-fold, then the attribute gather runs as to_map on
+        # the replicated face set (zero communication, and autodiff
+        # supplies the scatter-add transpose into vertices/attrs).
+        from ..parallel.faces import compute_face_index_map_face_sharded
 
-            face_index_map = compute_face_index_map_face_sharded(
-                jax.lax.stop_gradient(face_vertices),
-                render_size, hp.near, hp.far, hp.draw_backside,
-                hp.face_chunk, row_start=row_start, num_rows=num_rows,
-                axis=face_axis,
-            )
-        else:
-            face_index_map = compute_face_index_map(
-                jax.lax.stop_gradient(face_vertices),
-                render_size, hp.near, hp.far, hp.draw_backside, hp.face_chunk,
-                row_start=row_start, num_rows=num_rows,
-            )
+        face_index_map = compute_face_index_map_face_sharded(
+            jax.lax.stop_gradient(face_vertices),
+            render_size, hp.near, hp.far, hp.draw_backside,
+            hp.face_chunk, row_start=row_start, num_rows=num_rows,
+            axis=face_axis, backend=backend,
+        )
         from .maps import to_map
 
         def planar(per_face, d):
@@ -243,17 +239,10 @@ def compute_channel_maps(
                 params.textures.shape[3] // ts,
             )
         else:
-            # general (loaded-atlas) sampler stays NHWC around its gathers
-            rgb_map = shading.sample_textures_from(
-                fvm_planar[:, (2, 5, 8)].transpose(0, 2, 3, 1),
-                uv_planes.transpose(0, 2, 3, 1).reshape(
-                    bs, num_rows, render_size, 3, 2
-                ),
-                params.textures,
-                face_index_map,
-                weight_planes.transpose(0, 2, 3, 1),
-                hp.eps,
-            ).transpose(0, 3, 1, 2)
+            rgb_map = shading.sample_textures_atlas_planes(
+                fvm_planar, uv_planes, params.textures,
+                face_index_map, weight_planes, hp.eps,
+            )
         # reference semantics (rasterize.py:253): an EMPTY lights tuple
         # still multiplies by the (zero) accumulated color weight
         if params.lights is not None:

@@ -71,9 +71,11 @@ def _face_accept(xp, yp, coef, iz, det, bbox, depth, near, far):
     return accept, zp
 
 
-def _row_windows(bbox, ty, tile_h, rw, image_size):
+def _row_windows(bbox, row_base, tile_h, rw, image_size):
     """Tile-local row range covering a face's pixel rows, as (first
-    8-aligned start row, number of rw-row windows).
+    8-aligned start row, number of rw-row windows).  ``row_base`` is the
+    GLOBAL image row of the tile's first row (row_start + ty * tile_h for
+    row-windowed / tile-sharded rendering).
 
     Row r has pixel-centre yp = (2r + 1 - S)/S, so the face's NDC y-range
     [ymin, ymax] covers rows in [(ymin*S + S - 1)/2, (ymax*S + S - 1)/2];
@@ -86,9 +88,8 @@ def _row_windows(bbox, ty, tile_h, rw, image_size):
     half = (image_size - 1.0) * 0.5
     y_lo = jnp.floor(bbox[2] * (image_size * 0.5) + half)
     y_hi = jnp.ceil(bbox[3] * (image_size * 0.5) + half)
-    base = jnp.float32(ty * tile_h)
-    r_lo = jnp.clip(y_lo - base, 0.0, tile_h).astype(jnp.int32)
-    r_hi = jnp.clip(y_hi - base + 1.0, 0.0, tile_h).astype(jnp.int32)
+    r_lo = jnp.clip(y_lo - row_base, 0.0, tile_h).astype(jnp.int32)
+    r_hi = jnp.clip(y_hi - row_base + 1.0, 0.0, tile_h).astype(jnp.int32)
     r0 = (r_lo // 8) * 8
     n_win = (r_hi - r0 + rw - 1) // rw
     return r0, n_win
@@ -97,6 +98,7 @@ def _row_windows(bbox, ty, tile_h, rw, image_size):
 
 def _binned_kernel(
     # SMEM operands
+    rs_ref,          # [1] int32: global image row of output row 0
     cnt_ref,         # [1, 1, n_tiles] int32: faces binned to each tile
     ids_ref,         # [1, 1, 1, K] int32: original face ids, bin order
     consts_ref,      # [1, 1, 17, K] f32: binned per-face constants
@@ -140,6 +142,7 @@ def _binned_kernel(
     ty = t // n_tile_x
     tx = t % n_tile_x
     rw = row_window
+    row_base = rs_ref[0] + ty * tile_h  # global image row of this tile's row 0
 
     @pl.when(c == 0)
     def _init():
@@ -195,7 +198,8 @@ def _binned_kernel(
                     valids[j], jnp.maximum(ymax_u, members[j][3][3]), ymax_u
                 )
             r0, n_win = _row_windows(
-                (0.0, 0.0, ymin_u, ymax_u), ty, tile_h, rw, image_size
+                (0.0, 0.0, ymin_u, ymax_u), row_base.astype(jnp.float32),
+                tile_h, rw, image_size,
             )
 
             def win_body(w, _):
@@ -206,7 +210,7 @@ def _binned_kernel(
                 )
                 rows = pl.ds(start, rw)
                 d = depth_ref[0, rows, :]
-                gr = ty * tile_h + start + row_iota
+                gr = row_base + start + row_iota
                 yp = (2.0 * gr.astype(jnp.float32) + (1.0 - image_size)) * inv
 
                 accepts = []
@@ -263,11 +267,13 @@ def _binned_kernel(
 
 
 def _bin_faces(consts, image_size, n_tile_y, n_tile_x, tile_h, tile_w,
-               draw_backside):
+               draw_backside, row_start=0):
     """Order-stable per-tile face binning (pure XLA prepass).
 
     Args:
       consts: [bs, nf, 17] per-face constants (:func:`resolve.face_constants`).
+      row_start: global image row of the first output row (may be traced;
+        nonzero for row-windowed / tile-sharded rendering).
 
     Returns (order [bs, n_tiles, nf] int32, cnt [bs, n_tiles] int32): for
     each image tile, the face ids overlapping it (by the same strict
@@ -293,7 +299,7 @@ def _bin_faces(consts, image_size, n_tile_y, n_tile_x, tile_h, tile_w,
         return (2.0 * (t0 + ext - 1) + (1.0 - image_size)) * inv
 
     tx0 = jnp.arange(n_tile_x, dtype=jnp.float32) * tile_w
-    ty0 = jnp.arange(n_tile_y, dtype=jnp.float32) * tile_h
+    ty0 = row_start + jnp.arange(n_tile_y, dtype=jnp.float32) * tile_h
     x_ov = ~(
         (xmax[..., None] < lo(tx0)) | (hi(tx0, tile_w) < xmin[..., None])
     )  # [bs, nf, Tx]
@@ -326,24 +332,34 @@ def _run_binned(
     latch,
     interpret,
     group_size=2,
+    row_start=0,
+    num_rows=None,
 ):
     """Common driver: bin -> gather bins -> pallas_call.
 
-    Returns (face_index_map, coords [bs,9,H,W] or None, attrs or None).
+    ``row_start``/``num_rows`` select a horizontal row window of the image
+    (the tile-sharded path renders only its own band; ``row_start`` may be
+    traced, e.g. ``axis_index('tile') * rows`` inside shard_map).
+
+    Returns (face_index_map, depth, coords [bs,9,H,W] or None, attrs or
+    None) with H = num_rows; depth is ``far`` on background (the combine
+    operand for face-sharded rendering).
     """
     bs, nf = face_vertices.shape[:2]
+    if num_rows is None:
+        num_rows = image_size
     num_attrs = 0 if face_attrs is None else face_attrs.shape[-1]
     if tile is None:
         # pick the tallest tile whose resident planes (index + depth +
         # latched coords/attrs) fit VMEM with buffering headroom.  The
         # width must be lane-aligned (128-divisible) or the full image;
-        # the height any 8-multiple divisor of the image.
+        # the height any 8-multiple divisor of the row window.
         planes = 2 + ((9 + num_attrs) if latch else 0)
         tw = 128 if image_size % 128 == 0 else image_size
         budget = 10 * 1024 * 1024
         th = None
-        for cand in range(min(512, image_size), 7, -8):
-            if image_size % cand == 0 and planes * cand * tw * 8 <= budget:
+        for cand in range(min(512, num_rows), 7, -8):
+            if num_rows % cand == 0 and planes * cand * tw * 8 <= budget:
                 th = cand
                 break
         if th is None:
@@ -351,16 +367,16 @@ def _run_binned(
         tile = (th, tw)
     tile_h, tile_w = tile
     row_window = min(row_window, tile_h)
-    assert image_size % tile_h == 0 and image_size % tile_w == 0
+    assert num_rows % tile_h == 0 and image_size % tile_w == 0
     assert tile_h % 8 == 0 and row_window % 8 == 0
-    n_tile_y = image_size // tile_h
+    n_tile_y = num_rows // tile_h
     n_tile_x = image_size // tile_w
     n_tiles = n_tile_y * n_tile_x
 
     consts = face_constants(face_vertices)
     order, cnt = _bin_faces(
         consts, image_size, n_tile_y, n_tile_x, tile_h, tile_w,
-        draw_backside,
+        draw_backside, row_start=row_start,
     )
 
     pad = (-nf) % face_chunk
@@ -384,7 +400,8 @@ def _run_binned(
     ids = jnp.pad(order, ((0, 0), (0, 0), (0, pad)))
     ids = ids.reshape(bs, n_tiles * n_chunks, 1, face_chunk)
 
-    inputs = [cnt[:, None, :], ids, consts_cm]
+    rs_arr = jnp.asarray(row_start, jnp.int32).reshape(1)
+    inputs = [rs_arr, cnt[:, None, :], ids, consts_cm]
     nc = n_chunks
     def chunk_spec(d):
         return pl.BlockSpec(
@@ -393,6 +410,9 @@ def _run_binned(
             memory_space=pltpu.SMEM,
         )
     in_specs = [
+        pl.BlockSpec(
+            (1,), lambda b, t, c: (0,), memory_space=pltpu.SMEM,
+        ),
         pl.BlockSpec(
             (1, 1, n_tiles), lambda b, t, c: (b, 0, 0),
             memory_space=pltpu.SMEM,
@@ -417,8 +437,8 @@ def _run_binned(
         pl.BlockSpec((1, tile_h, tile_w), tile_idx),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((bs, image_size, image_size), jnp.int32),
-        jax.ShapeDtypeStruct((bs, image_size, image_size), jnp.float32),
+        jax.ShapeDtypeStruct((bs, num_rows, image_size), jnp.int32),
+        jax.ShapeDtypeStruct((bs, num_rows, image_size), jnp.float32),
     ]
     if latch:
         out_specs.append(
@@ -428,7 +448,7 @@ def _run_binned(
             )
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((bs, 9, image_size, image_size), jnp.float32)
+            jax.ShapeDtypeStruct((bs, 9, num_rows, image_size), jnp.float32)
         )
         if num_attrs:
             out_specs.append(
@@ -439,7 +459,7 @@ def _run_binned(
             )
             out_shape.append(
                 jax.ShapeDtypeStruct(
-                    (bs, num_attrs, image_size, image_size), jnp.float32
+                    (bs, num_attrs, num_rows, image_size), jnp.float32
                 )
             )
 
@@ -460,6 +480,7 @@ def _run_binned(
 
     def wrapped(*refs):
         refs = list(refs)
+        rs_r = refs.pop(0)
         cnt_r = refs.pop(0)
         ids_r = refs.pop(0)
         consts_r = refs.pop(0)
@@ -469,7 +490,7 @@ def _run_binned(
         depth_r = refs.pop(0)
         coords_r = refs.pop(0) if latch else None
         attr_out_r = refs.pop(0) if (latch and num_attrs) else None
-        kernel(cnt_r, ids_r, consts_r, coords_in_r, attrs_r, index_r,
+        kernel(rs_r, cnt_r, ids_r, consts_r, coords_in_r, attrs_r, index_r,
                depth_r, coords_r, attr_out_r)
 
     outs = pl.pallas_call(
@@ -480,17 +501,17 @@ def _run_binned(
         out_shape=out_shape,
         interpret=interpret,
     )(*inputs)
-    index = outs[0]
+    index, depth = outs[0], outs[1]
     coords = outs[2] if latch else None
     attr_map = outs[3] if (latch and num_attrs) else None
-    return index, coords, attr_map
+    return index, depth, coords, attr_map
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "image_size", "near", "far", "draw_backside", "face_chunk", "tile",
-        "row_window", "interpret",
+        "row_window", "interpret", "num_rows",
     ),
 )
 def resolve_gather_pallas(
@@ -504,6 +525,8 @@ def resolve_gather_pallas(
     tile=None,
     row_window=16,
     interpret=False,
+    row_start=0,
+    num_rows=None,
 ):
     """Fused z-resolve + winner-attribute gather (forward only).
 
@@ -511,8 +534,10 @@ def resolve_gather_pallas(
       face_vertices: [bs, nf, 3, 3] float32 NDC face vertices.
       face_attrs: [bs, nf, A] float32 auxiliary per-face attributes to
         latch for the winning face (e.g. flattened UV triangles), or None.
+      row_start/num_rows: optional row window (tile-sharded rendering);
+        ``row_start`` may be traced, ``num_rows`` is static.
 
-    Returns (channel-planar, the kernel's native layout):
+    Returns (channel-planar, the kernel's native layout; H = num_rows):
       (face_index_map [bs,H,W] i32,
        fvm_planar [bs,9,H,W] f32 winner vertex coords -- 0 on background,
        attr_planes [bs,A,H,W] f32 or None).
@@ -520,9 +545,10 @@ def resolve_gather_pallas(
     Gradients are wired up by ``ops.gather_resolve.resolve_and_gather``
     (scatter-add backward); this function itself is non-differentiable.
     """
-    index, coords, attr_planes = _run_binned(
+    index, _, coords, attr_planes = _run_binned(
         face_vertices, face_attrs, image_size, near, far, draw_backside,
         face_chunk, tile, row_window, True, interpret,
+        row_start=row_start, num_rows=num_rows,
     )
     return index, coords, attr_planes
 
@@ -695,20 +721,30 @@ def compute_face_index_map_pallas(
     tile=None,
     row_window=16,
     interpret=False,
+    row_start=0,
+    num_rows=None,
+    return_depth=False,
 ):
     """Per-pixel z-buffered visible-face id (Pallas TPU kernel).
 
     Args:
       faces: [bs, nf, 3, 3] float32 NDC face vertices.
       tile: (tile_h, tile_w) pixel tile; defaults tuned on v5e.
+      row_start/num_rows: optional row window (tile-sharded rendering).
+      return_depth: also return the winning depths (``far`` on background)
+        -- the combine operand for face-sharded rendering.
 
-    Returns int32 [bs, image_size, image_size]; -1 = background.
+    Returns int32 [bs, num_rows, image_size]; -1 = background.
+    (index, depth) when ``return_depth``.
     Bit-identical semantics to ``resolve.compute_face_index_map``.
     """
-    index, _, _ = _run_binned(
+    index, depth, _, _ = _run_binned(
         faces, None, image_size, near, far, draw_backside,
         face_chunk, tile, row_window, False, interpret,
+        row_start=row_start, num_rows=num_rows,
     )
+    if return_depth:
+        return index, depth
     return index
 
 
@@ -716,6 +752,6 @@ compute_face_index_map_pallas = functools.partial(
     jax.jit,
     static_argnames=(
         "image_size", "near", "far", "draw_backside", "face_chunk", "tile",
-        "row_window", "interpret",
+        "row_window", "interpret", "num_rows", "return_depth",
     ),
 )(compute_face_index_map_pallas)

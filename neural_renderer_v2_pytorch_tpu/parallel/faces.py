@@ -65,12 +65,14 @@ def compute_face_index_map_face_sharded(
     row_start=0,
     num_rows=None,
     axis="face",
+    backend="xla",
 ):
     """Per-pixel z-buffered visible-face id, compute sharded over ``axis``.
 
     Must run inside ``shard_map`` on a mesh that has the ``axis``;
     ``face_vertices`` [bs, nf, 3, 3] is the FULL (replicated) face set --
-    each shard resolves its contiguous 1/n slice and the winners combine
+    each shard resolves its contiguous 1/n slice (through the binned
+    Pallas kernel when ``backend == 'pallas'``) and the winners combine
     with :func:`ordered_z_combine`.  Returns the combined (replicated)
     [bs, num_rows, W] int32 map with GLOBAL face ids.
     """
@@ -87,10 +89,19 @@ def compute_face_index_map_face_sharded(
     start = idx * per
     local = jax.lax.dynamic_slice_in_dim(face_vertices, start, per, axis=1)
 
-    index, depth = compute_face_index_map(
-        local, image_size, near, far, draw_backside, face_chunk,
-        row_start=row_start, num_rows=num_rows, return_depth=True,
-    )
+    if backend == "pallas":
+        from ..ops.resolve_pallas import compute_face_index_map_pallas
+
+        index, depth = compute_face_index_map_pallas(
+            local, image_size, near, far, draw_backside,
+            row_start=row_start, num_rows=num_rows, return_depth=True,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        index, depth = compute_face_index_map(
+            local, image_size, near, far, draw_backside, face_chunk,
+            row_start=row_start, num_rows=num_rows, return_depth=True,
+        )
     index = jnp.where(index >= 0, index + start, -1)
 
     depths = jax.lax.all_gather(depth, axis)   # [n, bs, H, W]

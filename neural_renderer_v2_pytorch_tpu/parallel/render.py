@@ -78,7 +78,7 @@ def rasterize_core_sharded(vertices, faces, params, hyperparams, mesh):
     def local_fn(vertices, faces, vt, ft, tex, lights):
         p = RasterizeParam(
             vertices_textures=vt, faces_textures=ft, textures=tex,
-            lights=lights,
+            lights=lights, texture_size=params.texture_size,
         )
         row_start = jax.lax.axis_index("tile") * rows
         return compute_channel_maps(

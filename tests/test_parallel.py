@@ -43,26 +43,34 @@ def transformed_batch(teapot):
     return tv, jnp.asarray(f)
 
 
-def test_sharded_silhouette_matches_single(transformed_batch):
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_sharded_silhouette_matches_single(transformed_batch, backend):
+    """Tile sharding must be bit-exact vs the single-device XLA pipeline
+    with BOTH backends: the Pallas kernel (interpret mode on CPU) now runs
+    under the row-window shard_map path."""
     tv, f = transformed_batch
     mesh = make_mesh(data=2, tile=4)
-    hp = RasterizeHyperparam(image_size=128, anti_aliasing=False)
+    hp = RasterizeHyperparam(image_size=128, anti_aliasing=False, backend=backend)
     sharded = np.asarray(rasterize_silhouettes_sharded(tv, f, None, hp, mesh=mesh))
-    single = np.asarray(rasterize_silhouettes(tv, f, None, hp))
+    single = np.asarray(
+        rasterize_silhouettes(tv, f, None, hp.replace(backend="xla"))
+    )
     np.testing.assert_array_equal(sharded, single)
 
 
-def test_sharded_gradients_match_single(transformed_batch):
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_sharded_gradients_match_single(transformed_batch, backend):
     tv, f = transformed_batch
     mesh = make_mesh(data=2, tile=4)
-    hp = RasterizeHyperparam(image_size=128, anti_aliasing=False)
+    hp = RasterizeHyperparam(image_size=128, anti_aliasing=False, backend=backend)
+    hp_single = hp.replace(backend="xla")
     ref = jnp.asarray(np.random.RandomState(0).rand(2, 128, 128).astype("float32"))
 
     def loss_sharded(tv):
         return jnp.sum(rasterize_silhouettes_sharded(tv, f, None, hp, mesh=mesh) * ref)
 
     def loss_single(tv):
-        return jnp.sum(rasterize_silhouettes(tv, f, None, hp) * ref)
+        return jnp.sum(rasterize_silhouettes(tv, f, None, hp_single) * ref)
 
     g_sh = np.asarray(jax.grad(loss_sharded)(tv))
     g_si = np.asarray(jax.grad(loss_single)(tv))
@@ -71,7 +79,8 @@ def test_sharded_gradients_match_single(transformed_batch):
     np.testing.assert_allclose(g_sh, g_si, atol=1e-4 * scale)
 
 
-def test_sharded_textured_with_lights(transformed_batch, teapot):
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_sharded_textured_with_lights(transformed_batch, teapot, backend):
     tv, f = transformed_batch
     _, faces_np = teapot
     vt, ft, tex = nr.create_textures(faces_np.shape[0], texture_size=2)
@@ -91,10 +100,10 @@ def test_sharded_textured_with_lights(transformed_batch, teapot):
         textures=jnp.asarray(np.tile(tex[None], (bs, 1, 1, 1))),
         lights=lights,
     )
-    hp = RasterizeHyperparam(image_size=64, anti_aliasing=True)
+    hp = RasterizeHyperparam(image_size=64, anti_aliasing=True, backend=backend)
     mesh = make_mesh(data=2, tile=4)
     sharded = np.asarray(rasterize_rgb_sharded(tv, f, params, hp, mesh=mesh))
-    single = np.asarray(rasterize_rgb(tv, f, params, hp))
+    single = np.asarray(rasterize_rgb(tv, f, params, hp.replace(backend="xla")))
     # different XLA fusion between the two programs -> f32 noise only
     np.testing.assert_allclose(sharded, single, atol=3e-5)
 
@@ -113,15 +122,19 @@ def test_sharded_textured_with_lights(transformed_batch, teapot):
     np.testing.assert_allclose(g_sh, g_si, atol=1e-4 * scale)
 
 
-def test_face_sharded_silhouette_matches_single(transformed_batch):
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_face_sharded_silhouette_matches_single(transformed_batch, backend):
     """(data=2, tile=2, face=2): the resolve's face loop distributed with
     the ordered z-combine must reproduce the single-device image (the
-    teapot has no cross-shard depth ties within the 1e-4 band)."""
+    teapot has no cross-shard depth ties within the 1e-4 band); with
+    backend='pallas' each shard's local resolve runs the binned kernel."""
     tv, f = transformed_batch
     mesh = make_mesh(data=2, tile=2, face=2)
-    hp = RasterizeHyperparam(image_size=128, anti_aliasing=False)
+    hp = RasterizeHyperparam(image_size=128, anti_aliasing=False, backend=backend)
     sharded = np.asarray(rasterize_silhouettes_sharded(tv, f, None, hp, mesh=mesh))
-    single = np.asarray(rasterize_silhouettes(tv, f, None, hp))
+    single = np.asarray(
+        rasterize_silhouettes(tv, f, None, hp.replace(backend="xla"))
+    )
     np.testing.assert_array_equal(sharded, single)
 
 
@@ -169,6 +182,36 @@ def test_ordered_z_combine_tolerance_band():
     d, i = ordered_z_combine((depths, indices))
     np.testing.assert_array_equal(np.asarray(i), [7, 9])
     np.testing.assert_allclose(np.asarray(d), [1.0, 0.5])
+
+
+def test_sharded_texel_fast_path_matches_single(transformed_batch, teapot):
+    """params.texture_size must survive the shard_map boundary: the
+    gather-free texel fast path has to produce the same image sharded as
+    single-device (it is a static field rebuilt inside local_fn)."""
+    tv, f = transformed_batch
+    _, faces_np = teapot
+    vt, ft, tex = nr.create_textures(faces_np.shape[0], texture_size=4)
+    bs = 2
+    rng = np.random.RandomState(5)
+    tex = rng.rand(*tex.shape).astype("float32")
+    params = RasterizeParam(
+        vertices_textures=jnp.asarray(np.tile(vt[None], (bs, 1, 1))),
+        faces_textures=jnp.asarray(ft),
+        textures=jnp.asarray(np.tile(tex[None], (bs, 1, 1, 1))),
+        texture_size=4,
+    )
+    hp = RasterizeHyperparam(image_size=64, anti_aliasing=False)
+    mesh = make_mesh(data=2, tile=4)
+    sharded = np.asarray(rasterize_rgb_sharded(tv, f, params, hp, mesh=mesh))
+    single = np.asarray(rasterize_rgb(tv, f, params, hp))
+    np.testing.assert_allclose(sharded, single, atol=1e-4)
+    # and the fast path must agree with the general atlas sampler (the
+    # tap selection and interpolation run in a different op order -> f32
+    # noise only)
+    general = np.asarray(
+        rasterize_rgb(tv, f, params.replace(texture_size=None), hp)
+    )
+    np.testing.assert_allclose(single, general, atol=1e-4)
 
 
 def test_tile_only_mesh_batch1(teapot):

@@ -50,6 +50,78 @@ def test_pallas_batched_and_odd_faces():
     assert (ref >= -1).all() and (ref < 37).all()
 
 
+def test_row_window_matches_full_image(reference_data):
+    """Row-windowed resolve (the tile-sharded path) must reproduce the
+    full-image result band by band, including latched planes and depth,
+    with a traced row_start."""
+    import jax
+
+    from neural_renderer_v2_pytorch_tpu.ops.resolve_pallas import (
+        resolve_gather_pallas,
+    )
+
+    vertices, faces = nr.load_obj(str(reference_data / "teapot.obj"))
+    renderer = nr.Renderer()
+    renderer.viewpoints = nr.get_points_from_angles(2.732, 30, 45)
+    tv = renderer.transform_vertices(jnp.asarray(vertices[None]))
+    fv = jnp.take(tv, jnp.asarray(faces), axis=1)
+    rng = np.random.RandomState(3)
+    attrs = jnp.asarray(rng.rand(1, fv.shape[1], 5).astype("float32"))
+
+    full = resolve_gather_pallas(fv, attrs, 128, interpret=True)
+    bands = [
+        resolve_gather_pallas(
+            fv, attrs, 128, interpret=True,
+            row_start=jnp.int32(r), num_rows=32,
+        )
+        for r in range(0, 128, 32)
+    ]
+    for j, name in enumerate(["index", "coords", "attrs"]):
+        got = np.concatenate([np.asarray(b[j]) for b in bands], axis=-2)
+        np.testing.assert_array_equal(got, np.asarray(full[j]), err_msg=name)
+
+    # depth via the non-latch entry, traced row window under jit
+    ref_i, ref_d = compute_face_index_map_pallas(
+        fv, 128, interpret=True, return_depth=True
+    )
+    win = jax.jit(
+        lambda f, r: compute_face_index_map_pallas(
+            f, 128, interpret=True, row_start=r, num_rows=64,
+            return_depth=True,
+        )
+    )
+    for r in (0, 64):
+        wi, wd = win(fv, jnp.int32(r))
+        np.testing.assert_array_equal(np.asarray(wi), np.asarray(ref_i)[:, r:r + 64])
+        np.testing.assert_array_equal(np.asarray(wd), np.asarray(ref_d)[:, r:r + 64])
+
+
+def test_latch_matches_to_map_oracle():
+    """The fused latch (winner vertex-coord + attribute planes via the
+    masked-store group cascade) against the XLA resolve + to_map path, on
+    a random scene with an odd face count and group_size=2 chunks."""
+    from neural_renderer_v2_pytorch_tpu.ops.maps import to_map
+    from neural_renderer_v2_pytorch_tpu.ops.resolve_pallas import (
+        resolve_gather_pallas,
+    )
+
+    rng = np.random.RandomState(7)
+    bs, nf = 2, 53
+    fv = jnp.asarray(rng.uniform(-1, 1, size=(bs, nf, 3, 3)).astype("float32"))
+    fv = fv.at[..., 2].set(jnp.abs(fv[..., 2]) + 0.3)
+    attrs = jnp.asarray(rng.rand(bs, nf, 7).astype("float32"))
+
+    fim, fvm, am = resolve_gather_pallas(
+        fv, attrs, 64, face_chunk=16, tile=(32, 64), interpret=True
+    )
+    ref_fim = compute_face_index_map(fv, 64)
+    np.testing.assert_array_equal(np.asarray(fim), np.asarray(ref_fim))
+    ref_fvm = to_map(fv.reshape(bs, nf, 9), ref_fim).transpose(0, 3, 1, 2)
+    ref_am = to_map(attrs, ref_fim).transpose(0, 3, 1, 2)
+    np.testing.assert_array_equal(np.asarray(fvm), np.asarray(ref_fvm))
+    np.testing.assert_array_equal(np.asarray(am), np.asarray(ref_am))
+
+
 def test_scatter_to_faces_matches_segment_sum(reference_data):
     """The MXU one-hot scatter backward == the XLA segment-sum oracle."""
     from neural_renderer_v2_pytorch_tpu.ops.gather_resolve import _scatter_to_faces
