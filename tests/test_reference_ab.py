@@ -1,0 +1,312 @@
+"""Direct A/B parity against the LIVING reference (CPU torch).
+
+The reference's pure-torch modules (no CUDA, no chainer) load and run on
+CPU: differentiation, utils (maximum/pad_zeros/to_map/mask_foreground,
+create_textures, get_points_from_angles), look/look_at/perspective,
+load_obj/save_obj.  These tests import them through an importlib shim
+(the package __init__ pulls in the CUDA extension, so modules are loaded
+individually under a synthetic package) and assert near-bit parity --
+the reference's own primary oracle tier (SURVEY.md section 4.1), applied
+with the reference itself as the oracle instead of re-derived math.
+
+Reference anchors: neural_renderer_torch/differentiation.py:6-40,
+utils.py:30-160, look.py:5-41, look_at.py:5-44, perspective.py:4-18,
+load_obj.py:7-166, save_obj.py:5-47.
+"""
+
+import importlib.util
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/neural_renderer_torch/"
+
+
+@pytest.fixture(scope="module")
+def ref(reference_data):
+    """The chainer-free reference modules under a synthetic package."""
+    del reference_data  # ensures the reference checkout is present
+    pkg = types.ModuleType("_refnr")
+    pkg.__path__ = [REF]
+    sys.modules.setdefault("_refnr", pkg)
+    mods = {}
+    for m in ("utils", "differentiation", "look", "look_at", "perspective",
+              "load_obj", "save_obj"):
+        name = "_refnr." + m
+        if name not in sys.modules:
+            spec = importlib.util.spec_from_file_location(name, REF + m + ".py")
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            spec.loader.exec_module(mod)
+        mods[m] = sys.modules[name]
+    return types.SimpleNamespace(**mods)
+
+
+def _t(x):
+    return torch.tensor(np.asarray(x))
+
+
+# ---------------------------------------------------------------------------
+# differentiation: the NMR approximate-gradient op (the heart of the renderer)
+
+
+def test_differentiation_backward_matches_reference(ref):
+    """Our planar custom-vjp backward vs the reference autograd Function,
+    on random images/cotangents (NHWC<->NCHW transposed at the boundary)."""
+    from neural_renderer_v2_pytorch_tpu.ops.differentiation import differentiation
+
+    rng = np.random.RandomState(0)
+    for C, H in ((3, 16), (1, 9), (4, 32)):
+        images = rng.rand(2, H, H, C).astype("float32")
+        coords = rng.rand(2, H, H, 2).astype("float32")
+        cotan = rng.randn(2, H, H, C).astype("float32")
+
+        ti = _t(images).requires_grad_(True)
+        tc = _t(coords).requires_grad_(True)
+        out = ref.differentiation.differentiation(ti, tc)
+        out.backward(_t(cotan))
+        ref_gi = ti.grad.numpy()
+        ref_gc = tc.grad.numpy()  # [bs, H, W, 2] = (x, y)
+
+        def f(img, crd):
+            return jnp.sum(
+                differentiation(img.transpose(0, 3, 1, 2),
+                                crd.transpose(0, 3, 1, 2))
+                * cotan.transpose(0, 3, 1, 2)
+            )
+
+        # jax.grad returns gradients in the NHWC shape of the test inputs
+        gi, gc = jax.grad(f, argnums=(0, 1))(jnp.asarray(images), jnp.asarray(coords))
+        np.testing.assert_allclose(np.asarray(gi), ref_gi, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(gc), ref_gc, atol=1e-6 * max(1.0, np.abs(ref_gc).max())
+        )
+
+
+def test_maximum_matches_reference(ref):
+    from neural_renderer_v2_pytorch_tpu.ops.differentiation import maximum
+
+    rng = np.random.RandomState(1)
+    r = rng.randn(4, 64).astype("float32")
+    l = rng.randn(4, 64).astype("float32")
+    # exercise every branch: ties within eps, both-negative, r>l, l>=r
+    l[0] = r[0] + rng.uniform(-5e-5, 5e-5, 64).astype("float32")
+    r[1] = -np.abs(r[1]); l[1] = -np.abs(l[1])
+    ref_out = ref.utils.maximum(_t(r)[..., None], _t(l)[..., None]).numpy()[..., 0]
+    ours = np.asarray(maximum(jnp.asarray(r), jnp.asarray(l)))
+    np.testing.assert_array_equal(ours, ref_out)
+
+
+# ---------------------------------------------------------------------------
+# camera transforms
+
+
+def test_look_at_matches_reference(ref):
+    """Batch sizes 2 and 4 only: the reference's argless torch.cross
+    (look_at.py:29-30) resolves the cross axis to *the first dim of
+    size 3*, so batch size 3 crosses over the BATCH axis -- a latent
+    reference bug we do not reproduce."""
+    from neural_renderer_v2_pytorch_tpu.ops.camera import look_at
+
+    rng = np.random.RandomState(2)
+    for bs in (2, 4):
+        v = rng.randn(bs, 11, 3).astype("float32")
+        eyes = rng.randn(bs, 3).astype("float32") * 3
+        ref_out = ref.look_at.look_at(_t(v), _t(eyes)).numpy()
+        ours = np.asarray(look_at(jnp.asarray(v), jnp.asarray(eyes)))
+        np.testing.assert_allclose(ours, ref_out, atol=1e-5)
+    # 1-D viewpoint broadcast branch (look_at.py:20-21)
+    v = rng.randn(2, 5, 3).astype("float32")
+    eye = np.float32([1.0, 2.0, -3.0])
+    ref_out = ref.look_at.look_at(_t(v), _t(eye)).numpy()
+    ours = np.asarray(look_at(jnp.asarray(v), jnp.asarray(eye)))
+    np.testing.assert_allclose(ours, ref_out, atol=1e-5)
+
+
+def test_torch_look_is_broken_we_follow_chainer(ref):
+    """The torch reference's ``look`` is a broken translation: it applies
+    ``r.transpose(1, 0)`` to a [1, 3, 3] rotation (look.py:41) where the
+    chainer original does a batched transpose (chainer look.py:43
+    ``matmul(..., transb=True)``), so it raises for every input.  Pin that
+    fact (if an upstream fix lands, switch to direct A/B), and check ours
+    against the chainer semantics computed inline with numpy."""
+    from neural_renderer_v2_pytorch_tpu.ops.camera import look
+
+    rng = np.random.RandomState(3)
+    v = rng.randn(1, 7, 3).astype("float32")
+    eyes = rng.randn(1, 3).astype("float32")
+    with pytest.raises(RuntimeError):
+        ref.look.look(_t(v), _t(eyes))
+
+    def chainer_look(v, eye, direction, up):
+        z = direction / np.linalg.norm(direction)
+        x = np.cross(up, z); x /= np.linalg.norm(x)
+        y = np.cross(z, x); y /= np.linalg.norm(y)
+        r = np.stack((x, y, z))             # [3, 3]
+        return (v - eye[:, None]) @ r.T
+
+    direction = np.float32([0, 0, 1])
+    up = np.float32([0, 1, 0])
+    ref_out = chainer_look(v, eyes, direction, up)
+    ours = np.asarray(look(jnp.asarray(v), jnp.asarray(eyes)))
+    np.testing.assert_allclose(ours, ref_out, atol=1e-5)
+
+
+def test_perspective_matches_reference(ref):
+    from neural_renderer_v2_pytorch_tpu.ops.camera import perspective
+
+    rng = np.random.RandomState(4)
+    v = rng.randn(2, 9, 3).astype("float32")
+    v[..., 2] += 4.0
+    for angle in (30.0, 45.0):
+        ref_out = ref.perspective.perspective(_t(v), angle).numpy()
+        ours = np.asarray(perspective(jnp.asarray(v), angle))
+        np.testing.assert_allclose(ours, ref_out, atol=1e-5)
+
+
+def test_get_points_from_angles_matches_reference(ref):
+    from neural_renderer_v2_pytorch_tpu.utils.helpers import get_points_from_angles
+
+    for args in ((2.732, 30, 45), (1.0, -20, 135), (5.0, 0, 0)):
+        ref_out = np.asarray(ref.utils.get_points_from_angles(*args))
+        ours = np.asarray(get_points_from_angles(*args))
+        np.testing.assert_allclose(ours, ref_out, atol=1e-6)
+    # tensor (differentiable) branch
+    d, e, a = (_t(np.float32([2.0, 3.0])), _t(np.float32([10.0, 20.0])),
+               _t(np.float32([40.0, 80.0])))
+    ref_out = ref.utils.get_points_from_angles(d, e, a).numpy()
+    ours = np.asarray(
+        get_points_from_angles(
+            jnp.asarray([2.0, 3.0]), jnp.asarray([10.0, 20.0]), jnp.asarray([40.0, 80.0])
+        )
+    )
+    np.testing.assert_allclose(ours, ref_out, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# gather/mask ops: values AND gradients
+
+
+def test_to_map_matches_reference_values_and_grads(ref):
+    from neural_renderer_v2_pytorch_tpu.ops.maps import to_map
+
+    rng = np.random.RandomState(5)
+    data = rng.randn(2, 13, 4).astype("float32")
+    idx = rng.randint(-1, 13, size=(2, 8, 8)).astype("int32")
+    ref_out = ref.utils.to_map(_t(data), _t(idx)).numpy()
+    ours = np.asarray(to_map(jnp.asarray(data), jnp.asarray(idx)))
+    np.testing.assert_array_equal(ours, ref_out)
+
+    cotan = rng.randn(*ref_out.shape).astype("float32")
+    td = _t(data).requires_grad_(True)
+    ref.utils.to_map(td, _t(idx)).backward(_t(cotan))
+    g = np.asarray(
+        jax.grad(lambda d: jnp.sum(to_map(d, jnp.asarray(idx)) * cotan))(
+            jnp.asarray(data)
+        )
+    )
+    np.testing.assert_allclose(g, td.grad.numpy(), atol=1e-6)
+
+
+def test_mask_foreground_matches_reference_values_and_grads(ref):
+    from neural_renderer_v2_pytorch_tpu.ops.maps import mask_foreground
+
+    rng = np.random.RandomState(6)
+    data = rng.randn(2, 8, 8, 3).astype("float32")
+    idx = rng.randint(-1, 5, size=(2, 8, 8)).astype("int32")
+    ref_out = ref.utils.mask_foreground(_t(data), _t(idx)).numpy()
+    ours = np.asarray(mask_foreground(jnp.asarray(data), jnp.asarray(idx)))
+    np.testing.assert_array_equal(ours, ref_out)
+
+    cotan = rng.randn(*ref_out.shape).astype("float32")
+    td = _t(data).requires_grad_(True)
+    ref.utils.mask_foreground(td, _t(idx)).backward(_t(cotan))
+    g = np.asarray(
+        jax.grad(lambda d: jnp.sum(mask_foreground(d, jnp.asarray(idx)) * cotan))(
+            jnp.asarray(data)
+        )
+    )
+    np.testing.assert_array_equal(g, td.grad.numpy())
+
+
+def test_create_textures_matches_reference(ref):
+    from neural_renderer_v2_pytorch_tpu.utils.helpers import create_textures
+
+    for nf, ts, flat in ((8, 2, False), (100, 4, False), (5, 3, True)):
+        rv, rf, rt = ref.utils.create_textures(nf, texture_size=ts, flatten=flat)
+        ov, of, ot = create_textures(nf, texture_size=ts, flatten=flat)
+        np.testing.assert_array_equal(np.asarray(ov), np.asarray(rv))
+        np.testing.assert_array_equal(np.asarray(of), np.asarray(rf))
+        np.testing.assert_array_equal(np.asarray(ot), np.asarray(rt))
+
+
+# ---------------------------------------------------------------------------
+# OBJ I/O round trips
+
+
+def test_load_obj_matches_reference(ref, reference_data):
+    from neural_renderer_v2_pytorch_tpu.utils.obj_io import load_obj
+
+    path = str(reference_data / "teapot.obj")
+    for norm in (True, False):
+        rv, rf = ref.load_obj.load_obj(path, normalization=norm)
+        ov, of = load_obj(path, normalization=norm)
+        np.testing.assert_array_equal(np.asarray(of), np.asarray(rf))
+        np.testing.assert_allclose(np.asarray(ov), np.asarray(rv), atol=1e-6)
+
+
+def test_load_obj_textured_matches_reference(ref):
+    """Full textured load (vt parsing, mtl, atlas packing, UV rescale) on
+    the multi-material test model; arrays must match bit-for-bit."""
+    import glob
+
+    from neural_renderer_v2_pytorch_tpu.utils.obj_io import load_obj
+
+    objs = sorted(glob.glob("/root/reference/tests_chainer/data/*/*.obj"))
+    if not objs:
+        pytest.skip("no textured obj assets in the reference checkout")
+    for path in objs:
+        rv, rf, rvt, rft, rtex = ref.load_obj.load_obj(path, load_textures=True)
+        ov, of, ovt, oft, otex = load_obj(path, load_textures=True)
+        np.testing.assert_allclose(np.asarray(ov), np.asarray(rv), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(of), np.asarray(rf))
+        np.testing.assert_allclose(np.asarray(ovt), np.asarray(rvt), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(oft), np.asarray(rft))
+        np.testing.assert_allclose(np.asarray(otex), np.asarray(rtex), atol=1e-6)
+
+
+def test_save_obj_matches_reference(ref, tmp_path):
+    """save_obj must write byte-identical .obj/.mtl text for the same
+    inputs (the reference normalizes UVs back to [0, 1] and writes
+    1-indexed faces).  The reference path only accepts numpy textures
+    (save_obj.py:13 does ::-1 slicing, which torch rejects) and mutates
+    vertices_t in place, so each call gets its own copies; texture VALUES
+    go through the PNG (ours clips float [0,1] -> uint8, the reference
+    relies on imageio's conversion), so the text is the parity surface."""
+    from neural_renderer_v2_pytorch_tpu.utils.obj_io import save_obj
+
+    rng = np.random.RandomState(7)
+    v = rng.randn(5, 3).astype("float32")
+    f = np.array([[0, 1, 2], [2, 3, 4]], "int32")
+    vt = rng.rand(4, 2).astype("float32") * 16
+    ft = np.array([[0, 1, 2], [1, 2, 3]], "int32")
+    tex_u8 = rng.randint(0, 255, size=(3, 16, 16)).astype("uint8")
+
+    ours = tmp_path / "ours.obj"
+    theirs = tmp_path / "theirs.obj"
+    save_obj(str(ours), v, f, vt.copy(), ft, tex_u8.astype("float32") / 255.0)
+    ref.save_obj.save_obj(str(theirs), v, f, vt.copy(), ft, tex_u8)
+    assert ours.read_text() == theirs.read_text().replace("theirs", "ours")
+    rm = (theirs.parent / "theirs.mtl").read_text().replace("theirs", "ours")
+    assert (ours.parent / "ours.mtl").read_text() == rm
+
+    # geometry-only variant
+    save_obj(str(ours), v, f)
+    ref.save_obj.save_obj(str(theirs), v, f)
+    assert ours.read_text() == theirs.read_text().replace("theirs", "ours")
