@@ -54,11 +54,93 @@ def compute_coordinate_map(faces, face_index_map, weight_map):
     return compute_coordinate_map_from(faces_map, weight_map)
 
 
+def _uv_coords(z, u, v, w, fg, eps):
+    """Perspective-correct interpolated texel coordinates (x, y) from
+    per-vertex planes, clamped into the winning face's own uv-bbox minus
+    eps (reference rasterize.py:113-121, with its exact epsilons).
+
+    Args: tuples of three [bs, H, W] planes (per face vertex) for depth
+    ``z``, texel coords ``u``/``v``, barycentric weights ``w``; ``fg`` is
+    the [bs, H, W] foreground mask.  Shared by every texture sampler
+    (atlas and latched-texel, planar and NHWC shims).
+    """
+    depth = 1.0 / (
+        w[0] / (z[0] + 1e-10) + 1e-10
+        + w[1] / (z[1] + 1e-10) + 1e-10
+        + w[2] / (z[2] + 1e-10) + 1e-10
+    )
+
+    def interp(c):
+        val = (
+            w[0] * c[0] / (z[0] + 1e-10)
+            + w[1] * c[1] / (z[1] + 1e-10)
+            + w[2] * c[2] / (z[2] + 1e-10)
+        ) * depth
+        lo = jnp.minimum(jnp.minimum(c[0], c[1]), c[2])
+        hi = jnp.maximum(jnp.maximum(c[0], c[1]), c[2]) - eps
+        return jnp.where(fg, jnp.clip(val, lo, hi), 0.0)
+
+    return interp(u), interp(v)
+
+
+def _bilinear_taps(x, y):
+    """Bilinear 4-tap decomposition of texel coords: returns the integer
+    floor coords and the four corner weights, in the reference's corner
+    order (floor/floor, floor-y/ceil-x, ceil-y/floor-x, ceil/ceil)."""
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    wx0, wx1 = x0f + 1 - x, x - x0f
+    wy0, wy1 = y0f + 1 - y, y - y0f
+    x0, y0 = x0f.astype(jnp.int32), y0f.astype(jnp.int32)
+    return x0, y0, (wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1)
+
+
+def sample_textures_atlas_planes(
+    fvm_planar, uv_planes, textures, face_index_map, weight_planes, eps
+):
+    """General (loaded-atlas) texture sampler, channel-planar.
+
+    The four bilinear taps gather from the atlas held as [bs, 3, th*tw]
+    channel planes via take_along_axis -- the gather (and its scatter-add
+    transpose for texture gradients) runs per color plane with pixels on
+    the lanes.  Reference semantics: rasterize.py:100-153 (perspective-
+    correct UV, uv-bbox-minus-eps clamp, 4-tap bilinear).
+
+    Args:
+      fvm_planar: [bs, 9, H, W] latched winner coords (z at planes 2,5,8).
+      uv_planes: [bs, 6, H, W] latched UV triangle (u0,v0,u1,v1,u2,v2).
+      textures: [bs, 3, th, tw] atlas (differentiable).
+      weight_planes: [bs, 3, H, W].
+
+    Returns [bs, 3, H, W] RGB.
+    """
+    bs, _, H, W = fvm_planar.shape
+    th, tw = textures.shape[2:]
+    fg = face_index_map >= 0
+    x, y = _uv_coords(
+        (fvm_planar[:, 2], fvm_planar[:, 5], fvm_planar[:, 8]),
+        (uv_planes[:, 0], uv_planes[:, 2], uv_planes[:, 4]),
+        (uv_planes[:, 1], uv_planes[:, 3], uv_planes[:, 5]),
+        (weight_planes[:, 0], weight_planes[:, 1], weight_planes[:, 2]),
+        fg, eps,
+    )
+    x0, y0, tap_w = _bilinear_taps(x, y)
+
+    flat = textures.reshape(bs, 3, th * tw)
+
+    def tap(yi, xi):
+        idx = (yi * tw + xi).reshape(bs, 1, H * W)
+        return jnp.take_along_axis(flat, idx, axis=2).reshape(bs, 3, H, W)
+
+    taps = (tap(y0, x0), tap(y0, x0 + 1), tap(y0 + 1, x0), tap(y0 + 1, x0 + 1))
+    images = sum(w[:, None] * t for w, t in zip(tap_w, taps))
+    return jnp.where(fg[:, None], images, 0.0)
+
+
 def sample_textures_from(
     faces_z_map, vertices_textures_map, textures, face_index_map, weight_map, eps
 ):
-    """Perspective-correct UV interpolation + bilinear atlas gather, from
-    pre-gathered per-pixel maps.
+    """Reference-shaped (NHWC) atlas sampler: layout shim over the planar
+    helpers above.
 
     Args:
       faces_z_map: [bs, H, W, 3] winner vertex depths (differentiable).
@@ -73,51 +155,26 @@ def sample_textures_from(
     depths and UVs, matching the torch path (rasterize.py:100-153; the
     chainer twin detaches faces/UVs -- torch semantics are primary).
     """
-    batch_size = faces_z_map.shape[0]
-    texture_height, texture_width = textures.shape[2:]
-
-    textures = jnp.transpose(textures, (0, 2, 3, 1)).reshape(
-        batch_size, texture_height * texture_width, 3
+    bs, H, W = face_index_map.shape
+    th, tw = textures.shape[2:]
+    fg = face_index_map >= 0
+    x, y = _uv_coords(
+        tuple(faces_z_map[..., i] for i in range(3)),
+        tuple(vertices_textures_map[..., i, 0] for i in range(3)),
+        tuple(vertices_textures_map[..., i, 1] for i in range(3)),
+        tuple(weight_map[..., i] for i in range(3)),
+        fg, eps,
     )
-    depth_map = 1.0 / jnp.sum(weight_map / (faces_z_map + 1e-10) + 1e-10, axis=-1)
+    x0, y0, tap_w = _bilinear_taps(x, y)
 
-    vtm_original = vertices_textures_map
-    vtm = jnp.sum(
-        weight_map[..., None] * vertices_textures_map / (faces_z_map[..., None] + 1e-10),
-        axis=-2,
-    )  # [bs, H, W, 2]
-    vtm = vtm * depth_map[..., None]                                # [bs,H,W,2]
-    # clamp UVs into the face's own bbox minus eps (rasterize.py:120-121)
-    vtm = jnp.maximum(vtm, jnp.min(vtm_original, axis=-2))
-    vtm = jnp.minimum(vtm, jnp.max(vtm_original, axis=-2) - eps)
-    vtm = mask_foreground(vtm, face_index_map)
+    flat = textures.transpose(0, 2, 3, 1).reshape(bs, th * tw, 3)
 
-    x_f = vtm[..., 0]
-    y_f = vtm[..., 1]
-    x_f_f = jnp.floor(x_f)
-    y_f_f = jnp.floor(y_f)
-    x_c_f = x_f_f + 1
-    y_c_f = y_f_f + 1
-    x_f_i = x_f_f.astype(jnp.int32)
-    y_f_i = y_f_f.astype(jnp.int32)
-    x_c_i = x_c_f.astype(jnp.int32)
-    y_c_i = y_c_f.astype(jnp.int32)
+    def tap(yi, xi):
+        return to_map(flat, yi * tw + xi)
 
-    vtm1 = y_f_i * texture_width + x_f_i
-    vtm2 = y_f_i * texture_width + x_c_i
-    vtm3 = y_c_i * texture_width + x_f_i
-    vtm4 = y_c_i * texture_width + x_c_i
-    w1 = (y_c_f - y_f) * (x_c_f - x_f)
-    w2 = (y_c_f - y_f) * (x_f - x_f_f)
-    w3 = (y_f - y_f_f) * (x_c_f - x_f)
-    w4 = (y_f - y_f_f) * (x_f - x_f_f)
-    images = (
-        w1[..., None] * to_map(textures, vtm1)
-        + w2[..., None] * to_map(textures, vtm2)
-        + w3[..., None] * to_map(textures, vtm3)
-        + w4[..., None] * to_map(textures, vtm4)
-    )
-    return mask_foreground(images, face_index_map)
+    taps = (tap(y0, x0), tap(y0, x0 + 1), tap(y0 + 1, x0), tap(y0 + 1, x0 + 1))
+    images = sum(w[..., None] * t for w, t in zip(tap_w, taps))
+    return jnp.where(fg[..., None], images, 0.0)
 
 
 def face_texel_attrs(textures, num_faces, texture_size):
@@ -138,78 +195,6 @@ def face_texel_attrs(textures, num_faces, texture_size):
     t = t.transpose(0, 2, 4, 3, 5, 1)            # [bs, th, tw, ts_y, ts_x, 3]
     t = t.reshape(bs, th * tw, ts * ts * 3)
     return t[:, :num_faces]
-
-
-def sample_textures_from_texels(
-    faces_z_map, vertices_textures_map, texel_map, face_index_map,
-    weight_map, eps, texture_size, tile_width,
-):
-    """Gather-free texture sampling from per-face latched texel patches.
-
-    Same math as :func:`sample_textures_from` (perspective-correct UV,
-    bbox-eps clamp, bilinear 4-tap -- reference rasterize.py:100-153), but
-    the 4 taps are selected from the winning face's OWN ts x ts texel
-    patch (``texel_map`` [bs, H, W, ts*ts*3], latched by the fused
-    resolve) instead of gathered from the atlas.  This is exact because
-    the reference clamps UVs into the face's uv-bbox minus eps
-    (rasterize.py:120-121), which for a tiled per-face atlas pins all
-    four taps inside the face's patch.  Eliminates the 4 per-pixel atlas
-    gathers (~2 ms each at 512^2 on v5e; the selects are elementwise).
-    """
-    batch_size, H, W = face_index_map.shape
-    ts = texture_size
-
-    depth_map = 1.0 / jnp.sum(weight_map / (faces_z_map + 1e-10) + 1e-10, axis=-1)
-    vtm_original = vertices_textures_map
-    vtm = jnp.sum(
-        weight_map[..., None] * vertices_textures_map / (faces_z_map[..., None] + 1e-10),
-        axis=-2,
-    )
-    vtm = vtm * depth_map[..., None]
-    vtm = jnp.maximum(vtm, jnp.min(vtm_original, axis=-2))
-    vtm = jnp.minimum(vtm, jnp.max(vtm_original, axis=-2) - eps)
-    vtm = mask_foreground(vtm, face_index_map)
-
-    # patch-local texel coordinates of the winning face
-    fid = jnp.maximum(face_index_map, 0)
-    x_org = ((fid % tile_width) * ts).astype(jnp.float32)
-    y_org = ((fid // tile_width) * ts).astype(jnp.float32)
-    x_f = vtm[..., 0] - x_org
-    y_f = vtm[..., 1] - y_org
-    x_f_f = jnp.floor(x_f)
-    y_f_f = jnp.floor(y_f)
-    x_c_f = x_f_f + 1
-    y_c_f = y_f_f + 1
-    w1 = (y_c_f - y_f) * (x_c_f - x_f)
-    w2 = (y_c_f - y_f) * (x_f - x_f_f)
-    w3 = (y_f - y_f_f) * (x_c_f - x_f)
-    w4 = (y_f - y_f_f) * (x_f - x_f_f)
-
-    texels = texel_map.reshape(batch_size, H, W, ts * ts, 3)
-    if ts == 2:
-        # the clamp pins local coords to [0, 1 - eps]: floor = 0, ceil = 1,
-        # so the taps ARE the four patch texels -- no selection needed
-        t1, t2, t3, t4 = (texels[..., t, :] for t in range(4))
-    else:
-        # taps are in [0, ts-1]; ceil may weight 0 at the bbox edge --
-        # clip keeps it in the patch (its weight is exactly 0 there)
-        xi_f = jnp.clip(x_f_f.astype(jnp.int32), 0, ts - 1)
-        yi_f = jnp.clip(y_f_f.astype(jnp.int32), 0, ts - 1)
-        xi_c = jnp.clip(xi_f + 1, 0, ts - 1)
-        yi_c = jnp.clip(yi_f + 1, 0, ts - 1)
-        t_ids = jnp.arange(ts * ts, dtype=jnp.int32)
-
-        def tap(xi, yi):
-            sel = (yi * ts + xi)[..., None] == t_ids            # [bs,H,W,ts^2]
-            return jnp.sum(sel[..., None] * texels, axis=-2)
-
-        t1, t2, t3, t4 = tap(xi_f, yi_f), tap(xi_c, yi_f), tap(xi_f, yi_c), tap(xi_c, yi_c)
-
-    images = (
-        w1[..., None] * t1 + w2[..., None] * t2
-        + w3[..., None] * t3 + w4[..., None] * t4
-    )
-    return mask_foreground(images, face_index_map)
 
 
 def sample_textures(faces, faces_textures, textures, face_index_map, weight_map, eps):
@@ -386,51 +371,31 @@ def sample_textures_texel_planes(
     Returns [bs, 3, H, W] RGB.
     """
     ts = texture_size
-    fg = (face_index_map >= 0)[:, None]
-    z = (fvm_planar[:, 2], fvm_planar[:, 5], fvm_planar[:, 8])
-    w = (weight_planes[:, 0], weight_planes[:, 1], weight_planes[:, 2])
-    u = (uv_planes[:, 0], uv_planes[:, 2], uv_planes[:, 4])
-    v = (uv_planes[:, 1], uv_planes[:, 3], uv_planes[:, 5])
-
-    # perspective-correct UV with the reference's epsilons
-    # (rasterize.py:113-121): divide by z, multiply by the interpolated
-    # depth, clamp into the face's own uv-bbox minus eps
-    depth = 1.0 / (
-        w[0] / (z[0] + 1e-10) + 1e-10
-        + w[1] / (z[1] + 1e-10) + 1e-10
-        + w[2] / (z[2] + 1e-10) + 1e-10
+    fg = face_index_map >= 0
+    x_f, y_f = _uv_coords(
+        (fvm_planar[:, 2], fvm_planar[:, 5], fvm_planar[:, 8]),
+        (uv_planes[:, 0], uv_planes[:, 2], uv_planes[:, 4]),
+        (uv_planes[:, 1], uv_planes[:, 3], uv_planes[:, 5]),
+        (weight_planes[:, 0], weight_planes[:, 1], weight_planes[:, 2]),
+        fg, eps,
     )
-
-    def interp(c):
-        val = (
-            w[0] * c[0] / (z[0] + 1e-10)
-            + w[1] * c[1] / (z[1] + 1e-10)
-            + w[2] * c[2] / (z[2] + 1e-10)
-        ) * depth
-        lo = jnp.minimum(jnp.minimum(c[0], c[1]), c[2])
-        hi = jnp.maximum(jnp.maximum(c[0], c[1]), c[2]) - eps
-        return jnp.where(fg[:, 0], jnp.clip(val, lo, hi), 0.0)
-
-    x_f = interp(u)
-    y_f = interp(v)
-
+    # patch-local texel coordinates of the winning face
     fid = jnp.maximum(face_index_map, 0)
     x_f = x_f - ((fid % tile_width) * ts).astype(jnp.float32)
     y_f = y_f - ((fid // tile_width) * ts).astype(jnp.float32)
-    x_f_f = jnp.floor(x_f)
-    y_f_f = jnp.floor(y_f)
-    w1_ = (y_f_f + 1 - y_f) * (x_f_f + 1 - x_f)
-    w2_ = (y_f_f + 1 - y_f) * (x_f - x_f_f)
-    w3_ = (y_f - y_f_f) * (x_f_f + 1 - x_f)
-    w4_ = (y_f - y_f_f) * (x_f - x_f_f)
+    x0, y0, tap_w = _bilinear_taps(x_f, y_f)
 
     bs = texel_planes.shape[0]
     texels = texel_planes.reshape(bs, ts * ts, 3, *texel_planes.shape[2:])
     if ts == 2:
-        t1, t2, t3, t4 = (texels[:, t] for t in range(4))
+        # the clamp pins local coords to [0, 1 - eps]: floor = 0, ceil = 1,
+        # so the taps ARE the four patch texels -- no selection needed
+        taps = tuple(texels[:, t] for t in range(4))
     else:
-        xi_f = jnp.clip(x_f_f.astype(jnp.int32), 0, ts - 1)
-        yi_f = jnp.clip(y_f_f.astype(jnp.int32), 0, ts - 1)
+        # taps are in [0, ts-1]; ceil may weight 0 at the bbox edge --
+        # clip keeps it in the patch (its weight is exactly 0 there)
+        xi_f = jnp.clip(x0, 0, ts - 1)
+        yi_f = jnp.clip(y0, 0, ts - 1)
         xi_c = jnp.clip(xi_f + 1, 0, ts - 1)
         yi_c = jnp.clip(yi_f + 1, 0, ts - 1)
 
@@ -439,10 +404,7 @@ def sample_textures_texel_planes(
             sel = t == jnp.arange(ts * ts)[None, :, None, None]
             return jnp.sum(sel[:, :, None] * texels, axis=1)
 
-        t1, t2, t3, t4 = tap(xi_f, yi_f), tap(xi_c, yi_f), tap(xi_f, yi_c), tap(xi_c, yi_c)
+        taps = (tap(xi_f, yi_f), tap(xi_c, yi_f), tap(xi_f, yi_c), tap(xi_c, yi_c))
 
-    images = (
-        w1_[:, None] * t1 + w2_[:, None] * t2
-        + w3_[:, None] * t3 + w4_[:, None] * t4
-    )
-    return jnp.where(fg, images, 0.0)
+    images = sum(w[:, None] * t for w, t in zip(tap_w, taps))
+    return jnp.where(fg[:, None], images, 0.0)
