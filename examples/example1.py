@@ -25,6 +25,8 @@ def parse_arguments():
     )
     parser.add_argument("-o", "--output_file", type=str, default="./data/example1.gif")
     parser.add_argument("-b", "--batch", type=int, default=30, help="cameras per call")
+    parser.add_argument("-s", "--image_size", type=int, default=256)
+    parser.add_argument("--azimuth_step", type=int, default=4)
     return parser.parse_args()
 
 
@@ -40,8 +42,9 @@ def run():
 
     vertices, faces = nr.load_obj(args.input_file)
     renderer = nr.Renderer()
+    renderer.image_size = args.image_size
 
-    azimuths = np.arange(0, 360, 4, dtype="float32")
+    azimuths = np.arange(0, 360, args.azimuth_step, dtype="float32")
     num = 0
     for start in range(0, len(azimuths), args.batch):
         batch_az = azimuths[start : start + args.batch]

@@ -30,6 +30,11 @@ def parse_arguments():
     parser.add_argument("-oo", "--output_opt_file", type=str, default="./data/example2_opt.gif")
     parser.add_argument("-or", "--output_res_file", type=str, default="./data/example2_res.gif")
     parser.add_argument("-n", "--num_steps", type=int, default=300)
+    parser.add_argument("-s", "--image_size", type=int, default=256,
+                        help="render size; the 256px reference image is "
+                             "subsampled to match")
+    parser.add_argument("--sweep_step", type=int, default=4,
+                        help="azimuth stride of the final turntable")
     return parser.parse_args()
 
 
@@ -45,9 +50,13 @@ def run():
     vertices, faces = nr.load_obj(args.input_obj_file)
     vertices = jnp.asarray(vertices)
     faces = jnp.asarray(faces)
-    image_ref = jnp.asarray(nr.imread(args.input_ref_file).mean(-1))
+    image_ref = nr.imread(args.input_ref_file).mean(-1)
+    k = image_ref.shape[0] // args.image_size
+    assert k * args.image_size == image_ref.shape[0], args.image_size
+    image_ref = jnp.asarray(image_ref[::k, ::k])
 
     renderer = nr.Renderer()
+    renderer.image_size = args.image_size
     eye = jnp.asarray(
         np.array(nr.get_points_from_angles(CAMERA_DISTANCE, ELEVATION, AZIMUTH), "float32")
     )
@@ -79,7 +88,7 @@ def run():
     nr.make_gif(working_dir, args.output_opt_file)
 
     # render the optimized mesh from a sweep of azimuths
-    for num, azimuth in enumerate(range(0, 360, 4)):
+    for num, azimuth in enumerate(range(0, 360, args.sweep_step)):
         vp = jnp.asarray(np.array(
             nr.get_points_from_angles(CAMERA_DISTANCE, ELEVATION, azimuth), "float32"))
         image = np.asarray(render_silhouette(vertices, vp))

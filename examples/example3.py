@@ -29,6 +29,11 @@ def parse_arguments():
     )
     parser.add_argument("-or", "--output_res_file", type=str, default="./data/example3_res.gif")
     parser.add_argument("-n", "--num_steps", type=int, default=300)
+    parser.add_argument("-s", "--image_size", type=int, default=256,
+                        help="render size; the 256px reference image is "
+                             "subsampled to match")
+    parser.add_argument("--sweep_step", type=int, default=4,
+                        help="azimuth stride of the final turntable")
     return parser.parse_args()
 
 
@@ -49,9 +54,13 @@ def run():
     faces_t = jnp.asarray(faces_t)
     texture_param = jnp.asarray(textures[None])  # trainable, squashed by tanh
 
-    image_ref = jnp.asarray(nr.imread(args.input_ref_file))[..., :3]
+    image_ref = nr.imread(args.input_ref_file)[..., :3]
+    k = image_ref.shape[0] // args.image_size
+    assert k * args.image_size == image_ref.shape[0], args.image_size
+    image_ref = jnp.asarray(image_ref[::k, ::k])
 
     renderer = nr.Renderer()
+    renderer.image_size = args.image_size
     renderer.perspective = False  # orthographic (example3.py:40)
     renderer.texture_size = 4     # create_textures tiling -> gather-free sampling
 
@@ -85,7 +94,7 @@ def run():
         if i % 20 == 0 or i == args.num_steps - 1:
             print("step %d: loss %.3f" % (i, float(loss)))
 
-    for num, azimuth in enumerate(range(0, 360, 4)):
+    for num, azimuth in enumerate(range(0, 360, args.sweep_step)):
         vp = jnp.asarray(np.array(
             nr.get_points_from_angles(CAMERA_DISTANCE, ELEVATION, azimuth), "float32"))
         images = np.asarray(render_rgb(texture_param, vp))

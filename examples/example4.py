@@ -26,6 +26,9 @@ def parse_arguments():
     )
     parser.add_argument("-or", "--output_res_file", type=str, default="./data/example4_res.gif")
     parser.add_argument("-n", "--max_steps", type=int, default=1000)
+    parser.add_argument("-s", "--image_size", type=int, default=256,
+                        help="render size; the 256px reference image is "
+                             "subsampled and the stop threshold scaled")
     return parser.parse_args()
 
 
@@ -44,9 +47,14 @@ def run():
     image_ref = nr.imread(args.input_ref_file)
     if image_ref.ndim == 3:
         image_ref = image_ref.mean(-1)
-    image_ref = jnp.asarray(image_ref)
+    k = image_ref.shape[0] // args.image_size
+    assert k * args.image_size == image_ref.shape[0], args.image_size
+    image_ref = jnp.asarray(image_ref[::k, ::k])
+    # the reference's loss<70 stop (example4.py:121) is an L2 SUM at 256^2
+    stop_loss = 70.0 * (args.image_size / 256.0) ** 2
 
     renderer = nr.Renderer()
+    renderer.image_size = args.image_size
     camera_position = jnp.array([6.0, 10.0, -14.0], jnp.float32)  # example4.py:32
 
     def render_from(camera_position):
@@ -73,7 +81,7 @@ def run():
         nr.imsave("%s/_tmp_%04d.png" % (working_dir, i), np.clip(image, 0, 1))
         if i % 10 == 0:
             print("step %d: loss %.1f camera %s" % (i, loss, np.asarray(camera_position)))
-        if loss < 70:  # example4.py:121
+        if loss < stop_loss:  # example4.py:121
             print("converged at step %d (loss %.1f)" % (i, loss))
             break
 

@@ -23,6 +23,7 @@ def parse_args():
                    default="/root/reference/examples_pytorch/data/teapot.obj")
     p.add_argument("-o", "--output_file", type=str, default="./data/example5.gif")
     p.add_argument("-n", "--num_steps", type=int, default=60)
+    p.add_argument("-s", "--image_size", type=int, default=128)
     p.add_argument("--cpu-devices", type=int, default=0,
                    help="force N virtual CPU devices (testing without a TPU slice)")
     return p.parse_args()
@@ -70,7 +71,7 @@ def main():
         np.array(nr.get_points_from_angles(2.732, 30, a), "float32")
         for a in np.linspace(0, 360, bs, endpoint=False)
     ])
-    hp = RasterizeHyperparam(image_size=128, anti_aliasing=False)
+    hp = RasterizeHyperparam(image_size=args.image_size, anti_aliasing=False)
 
     # target: the sharded render of the unperturbed mesh
     V0 = jnp.asarray(np.tile(vertices[None], (bs, 1, 1)))
@@ -108,7 +109,7 @@ def main():
     import tempfile
 
     renderer = nr.Renderer()
-    renderer.image_size = 128
+    renderer.image_size = args.image_size
     os.makedirs(os.path.dirname(args.output_file) or ".", exist_ok=True)
     with tempfile.TemporaryDirectory() as tmp:
         for i, az in enumerate(range(0, 360, 30)):
