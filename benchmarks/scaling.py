@@ -18,17 +18,32 @@ TEAPOT = "/root/reference/tests_torch/data/teapot.obj"
 
 
 def subdivide(v, f):
-    """Midpoint 1:4 triangle subdivision (no dedup; geometry identical)."""
+    """Midpoint 1:4 triangle subdivision (no dedup; geometry identical).
+
+    Children are emitted adjacent to their parent and vertices renumbered
+    in first-use order -- the coherent layout every real mesh pipeline
+    produces (loaders emit vertices in file order, subdividers per
+    parent).  Id locality matters on TPU: the face-vertex gather/scatter
+    kernels' one-hot work scales with how many vertex chunks each slot
+    strip touches (ops/resolve_pallas.py gather_rows_pallas)."""
     v0, v1, v2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
     m01, m12, m20 = (v0 + v1) / 2, (v1 + v2) / 2, (v2 + v0) / 2
     nv = np.concatenate([v0, v1, v2, m01, m12, m20], 0)
     n = f.shape[0]
     i = np.arange(n)
     A, B, C, AB, BC, CA = i, i + n, i + 2 * n, i + 3 * n, i + 4 * n, i + 5 * n
-    nf = np.concatenate(
+    # children interleaved per parent: [A-corner, B-corner, C-corner, center]
+    nf = np.stack(
         [np.stack([A, AB, CA], 1), np.stack([AB, B, BC], 1),
-         np.stack([CA, BC, C], 1), np.stack([AB, BC, CA], 1)], 0)
-    return nv.astype("float32"), nf.astype("int32")
+         np.stack([CA, BC, C], 1), np.stack([AB, BC, CA], 1)], 1,
+    ).reshape(-1, 3)
+    # renumber vertices in first-use order
+    flat = nf.reshape(-1)
+    _, first = np.unique(flat, return_index=True)
+    order = flat[np.sort(first)]
+    remap = np.empty(nv.shape[0], np.int64)
+    remap[order] = np.arange(order.shape[0])
+    return nv[order].astype("float32"), remap[flat].reshape(-1, 3).astype("int32")
 
 
 def main():

@@ -132,9 +132,20 @@ def compute_channel_maps(
 
     bs = vertices.shape[0]
 
-    # face gather: [bs, nf, 3, 3]; the grad path into vertices
+    backend = _resolve_backend(hp.backend)
+    if backend == "pallas" and (render_size % 8 or num_rows % 8):
+        # the Pallas kernel needs 8-row-aligned tiles; odd sizes take the
+        # (bit-identical) XLA path
+        backend = "xla"
+
+    # face gather: [bs, nf, 3, 3]; THE grad path into vertices.  Both
+    # directions (gather fwd, shared-vertex scatter-add transpose) run as
+    # one-hot MXU kernels on TPU -- XLA executes them serially, row by
+    # row (7.5 + 8.0 ms at 158K faces; see gather_face_vertices).
+    from .gather_resolve import gather_face_vertices
+
     face_indices = faces.astype(jnp.int32)
-    face_vertices = jnp.take(vertices, face_indices, axis=1)
+    face_vertices = gather_face_vertices(vertices, face_indices, backend)
     nf = face_vertices.shape[1]
 
     faces_textures = None
@@ -151,11 +162,6 @@ def compute_channel_maps(
             params.textures, nf, params.texture_size
         )  # [bs, nf, ts*ts*3]
 
-    backend = _resolve_backend(hp.backend)
-    if backend == "pallas" and (render_size % 8 or num_rows % 8):
-        # the Pallas kernel needs 8-row-aligned tiles; odd sizes take the
-        # (bit-identical) XLA path
-        backend = "xla"
     if face_axis is None:
         # fused resolve + winner-attribute gather (full image OR a
         # tile-sharded row window): the winning face's vertex coords /

@@ -4,42 +4,58 @@ gradient scatter.
 TPU-native replacement for the reference's hot CUDA kernel
 ``face_index_map_forward_safe`` (rasterize_cuda_kernel.cu:52-153).
 
-Design (binned rasterizer)
---------------------------
+Design
+------
 The CUDA kernel is thread-per-pixel, each thread brute-force looping over
 ALL faces.  Here the work is organized around what the TPU is good at --
 wide vector ops over pixel rows, scalar-core bookkeeping, predictable
-DMA -- and around not doing O(pixels x faces) work at all:
+DMA -- and around not doing O(pixels x faces) work at all.  Two kernel
+modes share all of the per-face math and differ only in how a face finds
+the pixels it may cover:
 
-  1. A pure-XLA prepass (``_bin_faces``) bins faces per image tile by
-     their bboxes (order-stable compaction, so the reference's sequential
-     z-accept order within a tile is preserved) and drops degenerate /
-     culled-backface faces once, instead of per pixel.
-  2. ``_binned_kernel`` runs on a grid (batch, tile, face-chunk) with the
-     chunk axis innermost: the per-tile (depth, index[, latched attrs])
-     accumulators stay VMEM-resident while the tile's face list streams
-     through SMEM.  The chunk loop runs exactly ``count`` iterations (no
-     per-face branching), and every face touches only the 8-aligned
-     ``row_window``-row slabs covering its pixel rows -- a ~15 px face
-     pays for a (16, 128) vector window, not a whole tile.
-  3. Per-face math is precomputed once in XLA (``resolve.face_constants``,
+  * ``_windowed_kernel`` (default whenever the image planes fit VMEM and
+    the width is lane-aligned): the WHOLE pixel band stays VMEM-resident;
+    each face touches only the 8-aligned ``row_window``-row x 128-aligned
+    ``col_window``-column slabs covering its bbox, via dynamic sublane /
+    lane slices.  No prepass at all -- faces stream in id order straight
+    from a reshape, and the degenerate / backface culls are two scalar
+    predicates per face.
+  * ``_binned_kernel`` (fallback for images too large to keep resident):
+    a pure-XLA prepass (``_bin_faces``) bins faces per image tile by
+    their bboxes (order-stable argsort compaction, so the sequential
+    z-accept order within a tile is preserved) and drops degenerate /
+    culled-backface faces once; the kernel then runs on a
+    (batch, tile, face-chunk) grid with per-tile accumulators resident
+    and the tile's face list streaming through SMEM, each face touching
+    only its row windows.
+
+Shared structure:
+
+  1. Per-face math is precomputed once in XLA (``resolve.face_constants``,
      the single source of the rasterization math for every backend):
      all per-pixel quantities are affine in the pixel coords, the
      reference's c1/c2/c3 inside tests are identically the scaled
      barycentrics w2/w0/w1, and w0+w1+w2 is the per-face determinant,
      leaving ~30 VPU ops + 1 divide per face-window (``_face_accept``).
-  4. The fused gather variant latches the winning face's vertex coords
+  2. Faces process ``group_size`` per loop iteration: the sequential
+     z-accept stays exact (each face tests against the depth after its
+     predecessors' updates) while scalar bookkeeping and masked stores
+     amortize over the group's union window.
+  3. The fused gather variant latches the winning face's vertex coords
      and auxiliary attributes (UVs, normals, texel patches) via masked
      stores -- replacing the reference's per-pixel ``to_map`` gathers
      (utils.py:104-114).
-  5. The backward scatter (``scatter_to_faces_pallas``) turns the
+  4. The backward scatter (``scatter_to_faces_pallas``) turns the
      pixel->face gradient segment-sum into predicated one-hot MXU matmuls
      with the whole per-face accumulator VMEM-resident.
 
-Binning never changes results: a face outside a tile's bin cannot win any
-of its pixels, and compaction preserves face-id order; the kernel output
-is bit-identical to the XLA reference resolve (``resolve.py``), which
-mirrors the same formulas.
+Neither windowing nor binning changes results: a face outside a window /
+bin cannot win any of its pixels, and both stream faces in ascending id
+order, so the output is bit-identical to the XLA reference resolve
+(``resolve.py``), which mirrors the same formulas (tested, incl. fuzz).
+
+Measured on v5e (512^2, latch, fwd): 158K faces -- windowed 21.1 ms vs
+binned 23.3 ms (and no prepass); 2.5K faces -- both ~1.9 ms.
 """
 
 from __future__ import annotations
@@ -94,6 +110,338 @@ def _row_windows(bbox, row_base, tile_h, rw, image_size):
     n_win = (r_hi - r0 + rw - 1) // rw
     return r0, n_win
 
+
+
+def _col_windows(bbox, cw, image_size):
+    """Column range covering a face's pixels, as (first 128-aligned start
+    column, number of cw-column windows).  Mirror of :func:`_row_windows`
+    for the lane axis: column c has pixel-centre xp = (2c + 1 - S)/S, and
+    dynamic lane slices must start at 128-aligned offsets."""
+    half = (image_size - 1.0) * 0.5
+    x_lo = jnp.floor(bbox[0] * (image_size * 0.5) + half)
+    x_hi = jnp.ceil(bbox[1] * (image_size * 0.5) + half)
+    c_lo = jnp.clip(x_lo, 0.0, image_size).astype(jnp.int32)
+    c_hi = jnp.clip(x_hi + 1.0, 0.0, image_size).astype(jnp.int32)
+    c0 = (c_lo // 128) * 128
+    n_win = (c_hi - c0 + cw - 1) // cw
+    return c0, n_win
+
+
+def _windowed_kernel(
+    # SMEM operands
+    rs_ref,          # [1] int32: global image row of output row 0
+    nf_ref,          # [1] int32: real (unpadded) face count
+    consts_ref,      # [1, 1, 17, K] f32: per-face constants, chunk order
+    coords_in_ref,   # [1, 1, 9, K] f32 (latch only)
+    attrs_ref,       # [1, 1, A, K] f32 (only when num_attrs > 0)
+    # outputs (VMEM, resident across the chunk axis)
+    index_ref,       # [1, H, W] int32
+    depth_ref,       # [1, H, W] f32
+    coords_ref,      # [1, 9, H, W] f32 (latch only)
+    attr_out_ref,    # [1, A, H, W] f32 (only when num_attrs > 0)
+    *,
+    image_size,
+    near,
+    far,
+    face_chunk,
+    num_rows,
+    row_window,
+    col_window,
+    num_attrs,
+    latch,
+    group_size,
+    draw_backside,
+):
+    """Bin-free z-resolve: the whole pixel band stays VMEM-resident and
+    every face touches only the (row_window x col_window) slabs covering
+    its bbox.
+
+    Where ``_binned_kernel`` gets its x-selectivity from a host binning
+    prepass (argsort compaction + per-tile constant gathers -- ~17% of
+    the step at 158K faces), this kernel gets it from 128-aligned dynamic
+    LANE slices, so the prepass disappears entirely: faces stream in id
+    order straight from a reshape, and degenerate/backface culls are two
+    scalar predicates per face.  The sequential z-accept semantics are
+    identical (id order IS stream order here).  Preferred whenever the
+    resident planes fit VMEM (see ``_run_windowed``); the binned kernel
+    remains for images too large to keep resident.
+    """
+    c = pl.program_id(1)
+    rw, cw = row_window, col_window
+    S = float(image_size)  # NDC math; image_size stays the int plane width
+    row_base = rs_ref[0]
+
+    @pl.when(c == 0)
+    def _init():
+        depth_ref[...] = jnp.full((1, num_rows, image_size), far, jnp.float32)
+        index_ref[...] = jnp.full((1, num_rows, image_size), -1, jnp.int32)
+        if latch:
+            coords_ref[...] = jnp.zeros((1, 9, num_rows, image_size), jnp.float32)
+            if num_attrs:
+                attr_out_ref[...] = jnp.zeros(
+                    (1, num_attrs, num_rows, image_size), jnp.float32
+                )
+
+    n_in_chunk = jnp.clip(nf_ref[0] - c * face_chunk, 0, face_chunk)
+
+    @pl.when(n_in_chunk > 0)
+    def _process_chunk():
+        inv = 1.0 / S
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (rw, cw), 0)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (rw, cw), 1)
+        G = group_size
+
+        def group_body(i, _):
+            base = G * i
+            ks = [jnp.minimum(base + j, face_chunk - 1) for j in range(G)]
+
+            def face(kk):
+                cs = tuple(consts_ref[0, 0, j, kk] for j in range(17))
+                fid = c * face_chunk + kk
+                return cs[:9], cs[9:12], cs[12], cs[13:17], fid
+
+            members = [face(k) for k in ks]
+            valids = []
+            for j in range(G):
+                coef, _, det, _, _ = members[j]
+                ok = (base + j < n_in_chunk) & (jnp.abs(det) >= DEGENERATE_EPS)
+                if not draw_backside:
+                    ok &= ~face_backside(coef)
+                valids.append(ok)
+            any_valid = valids[0]
+            for vj in valids[1:]:
+                any_valid |= vj
+
+            @pl.when(any_valid)
+            def _group():
+                # union bbox over the valid members
+                xmin_u = xmax_u = ymin_u = ymax_u = None
+                for j in range(G):
+                    bb = members[j][3]
+                    if xmin_u is None:
+                        # the first VALID face dominates via where(valid)
+                        big = jnp.float32(4.0)  # off-screen NDC sentinel
+                        xmin_u = jnp.where(valids[j], bb[0], big)
+                        xmax_u = jnp.where(valids[j], bb[1], -big)
+                        ymin_u = jnp.where(valids[j], bb[2], big)
+                        ymax_u = jnp.where(valids[j], bb[3], -big)
+                    else:
+                        xmin_u = jnp.where(valids[j], jnp.minimum(xmin_u, bb[0]), xmin_u)
+                        xmax_u = jnp.where(valids[j], jnp.maximum(xmax_u, bb[1]), xmax_u)
+                        ymin_u = jnp.where(valids[j], jnp.minimum(ymin_u, bb[2]), ymin_u)
+                        ymax_u = jnp.where(valids[j], jnp.maximum(ymax_u, bb[3]), ymax_u)
+                r0, n_rwin = _row_windows(
+                    (0.0, 0.0, ymin_u, ymax_u), row_base.astype(jnp.float32),
+                    num_rows, rw, S,
+                )
+                c0, n_cwin = _col_windows(
+                    (xmin_u, xmax_u, 0.0, 0.0), cw, S
+                )
+
+                def rwin_body(wr, _):
+                    start_r = pl.multiple_of(
+                        jnp.minimum(r0 + wr * rw, num_rows - rw), 8
+                    )
+                    rows = pl.ds(start_r, rw)
+                    gr = row_base + start_r + row_iota
+                    yp = (2.0 * gr.astype(jnp.float32) + (1.0 - S)) * inv
+
+                    def cwin_body(wc, _):
+                        start_c = pl.multiple_of(
+                            jnp.minimum(c0 + wc * cw, image_size - cw), 128
+                        )
+                        cols = pl.ds(start_c, cw)
+                        gc = start_c + col_iota
+                        xp = (2.0 * gc.astype(jnp.float32) + (1.0 - S)) * inv
+                        d = depth_ref[0, rows, cols]
+
+                        accepts = []
+                        for j in range(G):
+                            coef, iz, det, bbox, _fid = members[j]
+                            aj, zj = _face_accept(
+                                xp, yp, coef, iz, det, bbox, d, near, far
+                            )
+                            aj &= valids[j]
+                            d = jnp.where(aj, zj, d)
+                            accepts.append(aj)
+
+                        hit = accepts[0]
+                        for aj in accepts[1:]:
+                            hit |= aj
+                        pltpu.store(depth_ref.at[0, rows, cols], d, mask=hit)
+
+                        def cascade(vals):
+                            v = vals[0]
+                            for j in range(1, G):
+                                v = jnp.where(accepts[j], vals[j], v)
+                            return v
+
+                        win_shape = (rw, cw)
+                        pltpu.store(
+                            index_ref.at[0, rows, cols],
+                            cascade([m[4] for m in members])
+                            * jnp.ones(win_shape, jnp.int32),
+                            mask=hit,
+                        )
+                        if latch:
+                            for p in range(9):
+                                val = cascade(
+                                    [coords_in_ref[0, 0, p, k] for k in ks]
+                                )
+                                pltpu.store(
+                                    coords_ref.at[0, p, rows, cols],
+                                    jnp.broadcast_to(val, win_shape),
+                                    mask=hit,
+                                )
+                            for a in range(num_attrs):
+                                val = cascade([attrs_ref[0, 0, a, k] for k in ks])
+                                pltpu.store(
+                                    attr_out_ref.at[0, a, rows, cols],
+                                    jnp.broadcast_to(val, win_shape),
+                                    mask=hit,
+                                )
+                        return 0
+
+                    jax.lax.fori_loop(0, n_cwin, cwin_body, 0)
+                    return 0
+
+                jax.lax.fori_loop(0, n_rwin, rwin_body, 0)
+
+            return 0
+
+        jax.lax.fori_loop(0, (n_in_chunk + G - 1) // G, group_body, 0)
+
+
+def _run_windowed(
+    face_vertices,
+    face_attrs,
+    image_size,
+    near,
+    far,
+    draw_backside,
+    face_chunk,
+    row_window,
+    col_window,
+    latch,
+    interpret,
+    group_size=2,
+    row_start=0,
+    num_rows=None,
+):
+    """Driver for the bin-free windowed kernel: reshape faces into chunks
+    (no binning, no gathers) -> pallas_call.  Same return contract as
+    :func:`_run_binned`."""
+    bs, nf = face_vertices.shape[:2]
+    if num_rows is None:
+        num_rows = image_size
+    num_attrs = 0 if face_attrs is None else face_attrs.shape[-1]
+    assert num_rows % 8 == 0 and image_size % 128 == 0
+    assert row_window % 8 == 0 and col_window % 128 == 0
+    row_window = min(row_window, num_rows)
+    col_window = min(col_window, image_size)
+
+    consts = face_constants(face_vertices)  # [bs, nf, 17]
+    pad = (-nf) % face_chunk
+    nf_p = nf + pad
+    n_chunks = nf_p // face_chunk
+
+    def chunked(per_face):
+        d = per_face.shape[-1]
+        g = jnp.pad(per_face, ((0, 0), (0, pad), (0, 0)))
+        return g.reshape(bs, n_chunks, face_chunk, d).transpose(0, 1, 3, 2)
+
+    rs_arr = jnp.asarray(row_start, jnp.int32).reshape(1)
+    nf_arr = jnp.full((1,), nf, jnp.int32)
+    inputs = [rs_arr, nf_arr, chunked(consts)]
+
+    def smem1(shape):
+        return pl.BlockSpec(shape, lambda b, c: (0,) * len(shape),
+                            memory_space=pltpu.SMEM)
+
+    def chunk_spec(d):
+        return pl.BlockSpec(
+            (1, 1, d, face_chunk), lambda b, c: (b, c, 0, 0),
+            memory_space=pltpu.SMEM,
+        )
+
+    in_specs = [smem1((1,)), smem1((1,)), chunk_spec(17)]
+    if latch:
+        inputs.append(chunked(face_vertices.reshape(bs, nf, 9)))
+        in_specs.append(chunk_spec(9))
+    if num_attrs:
+        inputs.append(chunked(face_attrs))
+        in_specs.append(chunk_spec(num_attrs))
+
+    whole = lambda b, c: (b, 0, 0)
+    out_specs = [
+        pl.BlockSpec((1, num_rows, image_size), whole),
+        pl.BlockSpec((1, num_rows, image_size), whole),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bs, num_rows, image_size), jnp.int32),
+        jax.ShapeDtypeStruct((bs, num_rows, image_size), jnp.float32),
+    ]
+    if latch:
+        out_specs.append(
+            pl.BlockSpec((1, 9, num_rows, image_size), lambda b, c: (b, 0, 0, 0))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((bs, 9, num_rows, image_size), jnp.float32)
+        )
+        if num_attrs:
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, num_attrs, num_rows, image_size),
+                    lambda b, c: (b, 0, 0, 0),
+                )
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct(
+                    (bs, num_attrs, num_rows, image_size), jnp.float32
+                )
+            )
+
+    kernel = functools.partial(
+        _windowed_kernel,
+        image_size=image_size,
+        near=float(near),
+        far=float(far),
+        face_chunk=face_chunk,
+        num_rows=num_rows,
+        row_window=row_window,
+        col_window=col_window,
+        num_attrs=num_attrs,
+        latch=latch,
+        group_size=group_size,
+        draw_backside=draw_backside,
+    )
+
+    def wrapped(*refs):
+        refs = list(refs)
+        rs_r = refs.pop(0)
+        nf_r = refs.pop(0)
+        consts_r = refs.pop(0)
+        coords_in_r = refs.pop(0) if latch else None
+        attrs_r = refs.pop(0) if num_attrs else None
+        index_r = refs.pop(0)
+        depth_r = refs.pop(0)
+        coords_r = refs.pop(0) if latch else None
+        attr_out_r = refs.pop(0) if (latch and num_attrs) else None
+        kernel(rs_r, nf_r, consts_r, coords_in_r, attrs_r, index_r,
+               depth_r, coords_r, attr_out_r)
+
+    outs = pl.pallas_call(
+        wrapped,
+        grid=(bs, n_chunks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*inputs)
+    index, depth = outs[0], outs[1]
+    coords = outs[2] if latch else None
+    attr_map = outs[3] if (latch and num_attrs) else None
+    return index, depth, coords, attr_map
 
 
 def _binned_kernel(
@@ -507,11 +855,29 @@ def _run_binned(
     return index, depth, coords, attr_map
 
 
+_WINDOWED_VMEM_BUDGET = 64 * 1024 * 1024
+
+
+def _pick_mode(mode, image_size, num_rows, latch, num_attrs):
+    """'windowed' (bin-free, whole band resident) whenever the layout
+    allows and the resident planes fit VMEM; 'binned' otherwise."""
+    if mode != "auto":
+        return mode
+    if num_rows is None:
+        num_rows = image_size
+    if image_size % 128 or num_rows % 8:
+        return "binned"
+    planes = 2 + ((9 + num_attrs) if latch else 0)
+    if planes * num_rows * image_size * 4 > _WINDOWED_VMEM_BUDGET:
+        return "binned"
+    return "windowed"
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "image_size", "near", "far", "draw_backside", "face_chunk", "tile",
-        "row_window", "interpret", "num_rows",
+        "row_window", "interpret", "num_rows", "mode", "group_size",
     ),
 )
 def resolve_gather_pallas(
@@ -527,6 +893,8 @@ def resolve_gather_pallas(
     interpret=False,
     row_start=0,
     num_rows=None,
+    mode="auto",
+    group_size=2,
 ):
     """Fused z-resolve + winner-attribute gather (forward only).
 
@@ -545,11 +913,21 @@ def resolve_gather_pallas(
     Gradients are wired up by ``ops.gather_resolve.resolve_and_gather``
     (scatter-add backward); this function itself is non-differentiable.
     """
-    index, _, coords, attr_planes = _run_binned(
-        face_vertices, face_attrs, image_size, near, far, draw_backside,
-        face_chunk, tile, row_window, True, interpret,
-        row_start=row_start, num_rows=num_rows,
-    )
+    num_attrs = 0 if face_attrs is None else face_attrs.shape[-1]
+    if tile is not None and mode == "auto":
+        mode = "binned"  # an explicit tile pins the binned kernel
+    if _pick_mode(mode, image_size, num_rows, True, num_attrs) == "windowed":
+        index, _, coords, attr_planes = _run_windowed(
+            face_vertices, face_attrs, image_size, near, far, draw_backside,
+            face_chunk, row_window, 128, True, interpret,
+            group_size=group_size, row_start=row_start, num_rows=num_rows,
+        )
+    else:
+        index, _, coords, attr_planes = _run_binned(
+            face_vertices, face_attrs, image_size, near, far, draw_backside,
+            face_chunk, tile, row_window, True, interpret,
+            group_size=group_size, row_start=row_start, num_rows=num_rows,
+        )
     return index, coords, attr_planes
 
 
@@ -637,8 +1015,8 @@ def scatter_to_faces_pallas(
     grad_map,
     face_index_map,
     num_faces,
-    strip=4096,
-    face_chunk=64,
+    strip=8192,
+    face_chunk=256,
     interpret=False,
     planar=False,
 ):
@@ -650,8 +1028,8 @@ def scatter_to_faces_pallas(
     ``gather_resolve._scatter_to_faces`` (the backward of the fused
     resolve+gather): the segment sum becomes predicated one-hot matmuls on
     the MXU with the whole per-face accumulator VMEM-resident (see
-    ``_scatter_kernel``).  Defaults tuned on v5e (teapot @512^2, D=9:
-    0.62 ms vs 2.86 ms for the XLA segment-sum).
+    ``_scatter_kernel``).  Defaults tuned on v5e at 512^2 x 158K faces
+    (2.13 ms; the old 4096/64 defaults cost 2.66 ms).
     """
     if planar:
         bs, D, H, W = grad_map.shape
@@ -661,10 +1039,17 @@ def scatter_to_faces_pallas(
     strip = min(strip, P)
     while P % strip:
         strip //= 2
+    # the [face_chunk, strip] bf16 one-hot lives on the scoped-VMEM stack
+    # (16 MB limit, shared with the accumulator and grad strips)
+    while face_chunk * strip * 2 > 8 * 1024 * 1024 and strip > 512:
+        strip //= 2
     n_strips = P // strip
 
     # lane-aligned chunk stores need K % 128 == 0
     face_chunk = max(128, (face_chunk + 127) // 128 * 128)
+    # the [n_strips, n_chunks] occupancy mask lives in SMEM (~1 MB)
+    while (P // strip) * (-(-num_faces // face_chunk)) * 4 > 512 * 1024:
+        face_chunk *= 2
     pad = (-num_faces) % face_chunk
     nf_p = num_faces + pad
     n_chunks = nf_p // face_chunk
@@ -711,6 +1096,128 @@ def scatter_to_faces_pallas(
     return out[:, :, :num_faces].transpose(0, 2, 1)
 
 
+def _gather_kernel(
+    mask_ref,    # [1, n_strips, n_chunks] int32 in SMEM: strip-chunk occupancy
+    ids_ref,     # [1, 1, 1, T] int32: row ids to gather, one strip
+    table_ref,   # [1, D, n_p] f32: THE WHOLE table, VMEM-resident
+    out_ref,     # [1, 1, D, T] f32
+    *,
+    strip,
+    chunk,
+    n_chunks,
+    D,
+):
+    """Row gather as predicated one-hot MXU matmuls (BIT-exact).
+
+    out[:, t] = table[:, ids[t]]
+
+    The transpose of ``_scatter_kernel``'s pattern: per strip of ids, loop
+    the table chunks its rows fall in (exact occupancy mask; coherent ids
+    touch only a few chunks) and accumulate ``table_chunk @ one_hot``.
+
+    Exactness: the MXU multiplies in bf16, so the f32 table is split into
+    THREE bf16 parts (hi + mid + lo covers all 24 mantissa bits; each
+    successive residual is exactly representable).  Every output column
+    has exactly ONE nonzero one-hot term, so each dot yields that part
+    exactly and the two f32 adds reconstruct the original value with no
+    rounding -- the result is bit-identical to the rows themselves (the
+    resolve consumes these values, so approximate would break the
+    bit-exact-backends invariant).
+    """
+    t = pl.program_id(1)
+    out_ref[...] = jnp.zeros_like(out_ref)
+    ids = ids_ref[0, 0]                      # [1, T]
+
+    def chunk_body(c, _):
+        @pl.when(mask_ref[0, t, c] != 0)
+        def _accumulate():
+            rows = c * chunk + jax.lax.broadcasted_iota(
+                jnp.int32, (chunk, 1), 0
+            )
+            one_hot = (ids == rows).astype(jnp.bfloat16)   # [K, T]
+            col = pl.multiple_of(c * chunk, 128)
+            tbl = table_ref[0, :, pl.ds(col, chunk)]       # [D, K] f32
+            hi = tbl.astype(jnp.bfloat16)
+            r1 = tbl - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def dot(a):  # [D, K] x [K, T] -> [D, T]
+                return jax.lax.dot_general(
+                    a, one_hot,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            out_ref[0, 0] += dot(hi) + dot(mid) + dot(lo)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("strip", "chunk", "interpret"),
+)
+def gather_rows_pallas(table, ids, strip=2048, chunk=512, interpret=False):
+    """``table[b, ids[b]]``: [bs, n, D] x [bs, P] int32 -> [bs, P, D],
+    bit-exact, via predicated one-hot MXU matmuls (``_gather_kernel``).
+
+    TPU replacement for XLA's row gather, which executes serially
+    (~16 ns/row: 7.5 ms for the 473K-row face-vertex gather at 158K
+    faces).  Requires ids >= 0.  Efficient when ids are chunk-local
+    (vertex ids of nearby faces -- true for any coherently-numbered
+    mesh); worst-case (ids uniform over a huge table) degrades toward
+    one-hot work over every chunk, so callers with incoherent ids should
+    prefer the XLA gather.
+    """
+    bs, n, D = table.shape
+    P = ids.shape[-1]
+    strip = min(strip, max(128, P))
+    pad_p = (-P) % strip
+    ids_p = jnp.pad(ids.reshape(bs, P), ((0, 0), (0, pad_p)))
+    n_strips = (P + pad_p) // strip
+
+    chunk = max(128, (chunk + 127) // 128 * 128)
+    # the [n_strips, n_chunks] occupancy mask lives in SMEM (~1 MB);
+    # coarsen chunks until it fits comfortably
+    while n_strips * (-(-n // chunk)) * 4 > 512 * 1024:
+        chunk *= 2
+    pad_n = (-n) % chunk
+    n_p = n + pad_n
+    n_chunks = n_p // chunk
+    table_pl = jnp.pad(
+        table.transpose(0, 2, 1), ((0, 0), (0, 0), (0, pad_n))
+    )  # [bs, D, n_p]
+
+    chunk_of = ids_p // chunk
+    mask = jnp.any(
+        chunk_of.reshape(bs, n_strips, strip)[..., None]
+        == jnp.arange(n_chunks, dtype=jnp.int32),
+        axis=2,
+    ).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _gather_kernel, strip=strip, chunk=chunk, n_chunks=n_chunks, D=D
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bs, n_strips),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_strips, n_chunks), lambda b, t: (b, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, 1, 1, strip), lambda b, t: (b, t, 0, 0)),
+            pl.BlockSpec((1, D, n_p), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, D, strip), lambda b, t: (b, t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bs, n_strips, D, strip), jnp.float32),
+        interpret=interpret,
+    )(mask, ids_p.reshape(bs, n_strips, 1, strip), table_pl)
+    return out.transpose(0, 1, 3, 2).reshape(bs, n_strips * strip, D)[:, :P]
+
+
 def compute_face_index_map_pallas(
     faces,
     image_size,
@@ -724,6 +1231,8 @@ def compute_face_index_map_pallas(
     row_start=0,
     num_rows=None,
     return_depth=False,
+    mode="auto",
+    group_size=2,
 ):
     """Per-pixel z-buffered visible-face id (Pallas TPU kernel).
 
@@ -738,11 +1247,20 @@ def compute_face_index_map_pallas(
     (index, depth) when ``return_depth``.
     Bit-identical semantics to ``resolve.compute_face_index_map``.
     """
-    index, depth, _, _ = _run_binned(
-        faces, None, image_size, near, far, draw_backside,
-        face_chunk, tile, row_window, False, interpret,
-        row_start=row_start, num_rows=num_rows,
-    )
+    if tile is not None and mode == "auto":
+        mode = "binned"  # an explicit tile pins the binned kernel
+    if _pick_mode(mode, image_size, num_rows, False, 0) == "windowed":
+        index, depth, _, _ = _run_windowed(
+            faces, None, image_size, near, far, draw_backside,
+            face_chunk, row_window, 128, False, interpret,
+            group_size=group_size, row_start=row_start, num_rows=num_rows,
+        )
+    else:
+        index, depth, _, _ = _run_binned(
+            faces, None, image_size, near, far, draw_backside,
+            face_chunk, tile, row_window, False, interpret,
+            group_size=group_size, row_start=row_start, num_rows=num_rows,
+        )
     if return_depth:
         return index, depth
     return index
@@ -752,6 +1270,7 @@ compute_face_index_map_pallas = functools.partial(
     jax.jit,
     static_argnames=(
         "image_size", "near", "far", "draw_backside", "face_chunk", "tile",
-        "row_window", "interpret", "num_rows", "return_depth",
+        "row_window", "interpret", "num_rows", "return_depth", "mode",
+        "group_size",
     ),
 )(compute_face_index_map_pallas)

@@ -170,6 +170,37 @@ def test_face_only_sharding_textured(transformed_batch, teapot):
     np.testing.assert_allclose(g_sh, g_si, atol=1e-4 * scale)
 
 
+def test_face_sharded_cross_shard_tie(transformed_batch):
+    """Constructed cross-shard depth tie: two coincident triangles whose
+    depths differ by 5e-5 (< the 1e-4 accept band), padded so they land
+    on DIFFERENT face shards.  The ordered fold must keep the earlier
+    face -- same answer as the sequential single-device z-buffer -- and
+    the full face-sharded resolve must agree with the single-device map."""
+    import jax.numpy as jnp
+
+    from neural_renderer_v2_pytorch_tpu.ops.rasterize import RasterizeParam  # noqa: F401
+
+    tri = np.array(
+        [[[-0.5, -0.5, 1.0], [0.5, -0.5, 1.0], [0.0, 0.5, 1.0]]], "float32"
+    )
+    fv = np.concatenate(
+        [tri, np.zeros((3, 3, 3), "float32"), tri + [0, 0, 5e-5]], 0
+    )[None]  # face 0 and face 4 tie within the band; 2 shards of 4 w/ face=2
+    vertices = jnp.asarray(fv.reshape(1, -1, 3))
+    faces = jnp.asarray(np.arange(15).reshape(5, 3).astype("int32"))
+
+    hp = RasterizeHyperparam(image_size=32, anti_aliasing=False)
+    mesh = make_mesh(data=1, tile=1, face=2)
+    sharded = rasterize_silhouettes_sharded(vertices, faces, None, hp, mesh=mesh)
+    single = rasterize_silhouettes(vertices, faces, None, hp)
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(single))
+
+    from neural_renderer_v2_pytorch_tpu.ops.resolve import compute_face_index_map
+
+    fim = np.asarray(compute_face_index_map(jnp.asarray(fv), 32))
+    assert set(np.unique(fim)) == {-1, 0}  # face 4 never displaces face 0
+
+
 def test_ordered_z_combine_tolerance_band():
     """The shard fold applies the reference's 1e-4 accept rule: a later
     shard's winner within the band does NOT displace the earlier one."""
