@@ -1036,36 +1036,51 @@ def scatter_to_faces_pallas(
     else:
         bs, H, W, D = grad_map.shape
     P = H * W
-    strip = min(strip, P)
-    while P % strip:
-        strip //= 2
+    strip = min(strip, max(512, P))
     # the [face_chunk, strip] bf16 one-hot lives on the scoped-VMEM stack
     # (16 MB limit, shared with the accumulator and grad strips)
     while face_chunk * strip * 2 > 8 * 1024 * 1024 and strip > 512:
         strip //= 2
-    n_strips = P // strip
+    # cap the strip count (the SMEM occupancy mask scales with it)
+    while -(-P // strip) > 1024:
+        strip *= 2
+    # pad the pixel axis up to a strip multiple (padding pixels get
+    # fim = -1, matching no chunk) -- shrinking the strip instead blows
+    # up the strip count for non-power-of-two P
+    pad_p = (-P) % strip
+    n_strips = (P + pad_p) // strip
 
     # lane-aligned chunk stores need K % 128 == 0
     face_chunk = max(128, (face_chunk + 127) // 128 * 128)
-    # the [n_strips, n_chunks] occupancy mask lives in SMEM (~1 MB)
-    while (P // strip) * (-(-num_faces // face_chunk)) * 4 > 512 * 1024:
+    # the occupancy mask lives in SMEM (~1 MB); its block pads the
+    # trailing (chunk) dim to 128 lanes
+    while (
+        n_strips * max(-(-num_faces // face_chunk), 128) * 4 > 512 * 1024
+        and face_chunk < num_faces
+    ):
         face_chunk *= 2
     pad = (-num_faces) % face_chunk
     nf_p = num_faces + pad
     n_chunks = nf_p // face_chunk
 
-    fim_flat = face_index_map.reshape(bs, n_strips, 1, strip)
+    fim_pad = jnp.pad(
+        face_index_map.reshape(bs, P), ((0, 0), (0, pad_p)),
+        constant_values=-1,
+    )
+    fim_flat = fim_pad.reshape(bs, n_strips, 1, strip)
     # coord-planar strips: [bs, n_strips, D, T] (lane dim = pixels)
     if planar:
-        grad_flat = grad_map.reshape(bs, D, n_strips, strip).transpose(0, 2, 1, 3)
+        grad_flat = grad_map.reshape(bs, D, P)
     else:
-        grad_flat = grad_map.reshape(bs, n_strips, strip, D).transpose(0, 1, 3, 2)
+        grad_flat = grad_map.reshape(bs, P, D).transpose(0, 2, 1)
+    grad_flat = jnp.pad(grad_flat, ((0, 0), (0, 0), (0, pad_p)))
+    grad_flat = grad_flat.reshape(bs, D, n_strips, strip).transpose(0, 2, 1, 3)
 
     # exact strip-chunk occupancy: does strip s contain any pixel whose
-    # winning face lies in chunk c?  (bg pixels -> chunk -1, matches none)
-    chunk_of = jnp.where(
-        face_index_map < 0, -1, face_index_map // face_chunk
-    ).reshape(bs, n_strips, strip)
+    # winning face lies in chunk c?  (bg/pad pixels -> chunk -1, match none)
+    chunk_of = jnp.where(fim_pad < 0, -1, fim_pad // face_chunk).reshape(
+        bs, n_strips, strip
+    )
     mask = jnp.any(
         chunk_of[..., None] == jnp.arange(n_chunks, dtype=jnp.int32), axis=2
     ).astype(jnp.int32)                                  # [bs, n_strips, n_chunks]
@@ -1094,6 +1109,151 @@ def scatter_to_faces_pallas(
         interpret=interpret,
     )(mask, fim_flat, grad_flat)
     return out[:, :, :num_faces].transpose(0, 2, 1)
+
+
+def _scatter_rows_kernel(
+    mask_ref,    # [1, n_strips, n_words] int32 in SMEM: BITPACKED occupancy
+    ids_ref,     # [1, 1, 1, T] int32: target row ids, one strip
+    g_ref,       # [1, 1, D, T] f32: gradients, one strip
+    out_ref,     # [1, D, part] f32: accumulator for ONE table part
+    *,
+    chunk,
+    chunks_per_part,
+    D,
+):
+    """Row scatter-add into a LARGE table, one VMEM-resident part at a
+    time: out[:, ids[t]] += g[:, t].
+
+    The sibling of ``_scatter_kernel`` for tables too large to keep the
+    whole accumulator resident (e.g. texture atlases: a 2.3M-texel f32
+    accumulator is 27 MB).  Grid is (batch, part, strip) with strips
+    innermost, so each part's accumulator stays resident while every
+    gradient strip streams past once per part; the strip-chunk occupancy
+    mask (bitpacked 32 chunks/word -- at atlas scale a flat int32 mask
+    blows the 1 MB SMEM budget) skips the one-hot work for (strip, chunk)
+    pairs with no hits.  bf16 hi+lo gradient split as in
+    ``_scatter_kernel`` (~2^-17 rel).
+    """
+    p = pl.program_id(1)
+    s = pl.program_id(2)
+
+    @pl.when(s == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    ids = ids_ref[0, 0]                      # [1, T]
+    g = g_ref[0, 0]                          # [D, T]
+    g_hi = g.astype(jnp.bfloat16)
+    g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def chunk_body(k, _):
+        c = p * chunks_per_part + k
+        bit = (mask_ref[0, s, c // 32] >> (c % 32)) & 1
+
+        @pl.when(bit != 0)
+        def _accumulate():
+            rows = c * chunk + jax.lax.broadcasted_iota(
+                jnp.int32, (chunk, 1), 0
+            )
+            one_hot = (ids == rows).astype(jnp.bfloat16)   # [K, T]
+
+            def dot_t(a):  # [D, T] x [K, T] -> [D, K], contract lanes
+                return jax.lax.dot_general(
+                    a, one_hot,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            col = pl.multiple_of(k * chunk, 128)
+            out_ref[0, :, pl.ds(col, chunk)] += dot_t(g_hi) + dot_t(g_lo)
+        return 0
+
+    jax.lax.fori_loop(0, chunks_per_part, chunk_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_rows_out", "strip", "chunk", "part_bytes", "interpret"),
+)
+def scatter_rows_pallas(
+    grads,
+    ids,
+    num_rows_out,
+    strip=4096,
+    chunk=512,
+    part_bytes=4 * 1024 * 1024,
+    interpret=False,
+):
+    """Scatter-add [bs, D, P] gradients into a [bs, num_rows_out, D]
+    table by row id ([bs, P] int32; id < 0 contributes nothing).
+
+    ``part_bytes`` bounds the resident accumulator part; together with
+    the [chunk, strip] bf16 one-hot and the double-buffered gradient
+    strips it must fit the 16 MB scoped-VMEM stack.
+
+    TPU replacement for XLA's serial scatter / segment-sum when the
+    target is large (measured 42 ms for 1M rows into a 2.3M-texel atlas;
+    sortedness does not help XLA).  See ``_scatter_rows_kernel``.
+    """
+    bs, D, P = grads.shape
+    strip = min(strip, max(512, P))
+    while -(-P // strip) > 1024:
+        strip *= 2
+    pad_p = (-P) % strip
+    n_strips = (P + pad_p) // strip
+    ids_p = jnp.pad(
+        ids.reshape(bs, P), ((0, 0), (0, pad_p)), constant_values=-1
+    )
+    g_p = jnp.pad(grads, ((0, 0), (0, 0), (0, pad_p)))
+
+    chunk = max(128, (chunk + 127) // 128 * 128)
+    chunks_per_part = max(1, part_bytes // (D * chunk * 4))
+    part = chunks_per_part * chunk
+    n_parts = -(-num_rows_out // part)
+    n_chunks = n_parts * chunks_per_part
+    n_p = n_chunks * chunk
+
+    chunk_of = jnp.where(ids_p < 0, -1, ids_p // chunk)
+    occ = jnp.any(
+        chunk_of.reshape(bs, n_strips, strip)[..., None]
+        == jnp.arange(n_chunks, dtype=jnp.int32),
+        axis=2,
+    )                                        # [bs, n_strips, n_chunks]
+    # bitpack 32 chunks per int32 word for SMEM
+    n_words = -(-n_chunks // 32)
+    occ = jnp.pad(occ, ((0, 0), (0, 0), (0, n_words * 32 - n_chunks)))
+    mask = jnp.sum(
+        occ.reshape(bs, n_strips, n_words, 32).astype(jnp.int32)
+        << jnp.arange(32, dtype=jnp.int32),
+        axis=-1,
+    )                                        # [bs, n_strips, n_words]
+
+    kernel = functools.partial(
+        _scatter_rows_kernel,
+        chunk=chunk,
+        chunks_per_part=chunks_per_part,
+        D=D,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bs, n_parts, n_strips),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_strips, n_words), lambda b, p, s: (b, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, 1, 1, strip), lambda b, p, s: (b, s, 0, 0)),
+            pl.BlockSpec((1, 1, D, strip), lambda b, p, s: (b, s, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, D, part), lambda b, p, s: (b, 0, p)),
+        out_shape=jax.ShapeDtypeStruct((bs, D, n_p), jnp.float32),
+        interpret=interpret,
+    )(
+        mask,
+        ids_p.reshape(bs, n_strips, 1, strip),
+        g_p.reshape(bs, D, n_strips, strip).transpose(0, 2, 1, 3),
+    )
+    return out[:, :, :num_rows_out].transpose(0, 2, 1)
 
 
 def _gather_kernel(
@@ -1174,14 +1334,19 @@ def gather_rows_pallas(table, ids, strip=2048, chunk=512, interpret=False):
     bs, n, D = table.shape
     P = ids.shape[-1]
     strip = min(strip, max(128, P))
+    # cap the strip count (the SMEM occupancy mask scales with it)
+    while -(-P // strip) > 1024:
+        strip *= 2
     pad_p = (-P) % strip
     ids_p = jnp.pad(ids.reshape(bs, P), ((0, 0), (0, pad_p)))
     n_strips = (P + pad_p) // strip
 
     chunk = max(128, (chunk + 127) // 128 * 128)
-    # the [n_strips, n_chunks] occupancy mask lives in SMEM (~1 MB);
-    # coarsen chunks until it fits comfortably
-    while n_strips * (-(-n // chunk)) * 4 > 512 * 1024:
+    # the occupancy mask lives in SMEM (~1 MB); its block pads the
+    # trailing (chunk) dim to 128 lanes -- coarsen chunks until it fits
+    while (
+        n_strips * max(-(-n // chunk), 128) * 4 > 512 * 1024 and chunk < n
+    ):
         chunk *= 2
     pad_n = (-n) % chunk
     n_p = n + pad_n

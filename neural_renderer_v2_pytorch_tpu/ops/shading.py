@@ -18,8 +18,11 @@ References:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models import lights as light_lib
 from .maps import mask_foreground, to_map
@@ -94,16 +97,84 @@ def _bilinear_taps(x, y):
     return x0, y0, (wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _atlas_taps(flat, idx00, tw, kernel_bwd):
+    """The four bilinear taps [bs, 4, 3, P] from a flattened atlas
+    [bs, 3, T], anchored at ``idx00`` [bs, P] (the floor-corner texel id;
+    the other taps are +1, +tw, +tw+1).
+
+    Forward is four XLA row gathers (~1.4 ms each at 512^2 -- close to
+    the hardware's gather throughput).  The custom backward replaces
+    XLA's serial scatter-add of the texture gradients (42 ms at 512^2
+    into a 2.3M-texel atlas!) with ONE quad-merged MXU one-hot scatter
+    (``scatter_rows_pallas``, all four taps as 12 channels at the anchor
+    id) followed by three shifted adds that fold the quad channels onto
+    their true texels.  Anchors are clamped so all four taps stay
+    in-bounds -- the uv-bbox-minus-eps clamp keeps real UVs there anyway.
+    """
+    return _atlas_taps_impl(flat, idx00, tw)
+
+
+def _atlas_taps_impl(flat, idx00, tw):
+    bs, _, T = flat.shape
+    idx00 = jnp.clip(idx00, 0, T - tw - 2)
+    taps = [
+        jnp.take_along_axis(flat, (idx00 + off)[:, None], axis=2)
+        for off in (0, 1, tw, tw + 1)
+    ]
+    return jnp.stack(taps, axis=1)  # [bs, 4, 3, P]
+
+
+def _atlas_taps_fwd(flat, idx00, tw, kernel_bwd):
+    return _atlas_taps_impl(flat, idx00, tw), (idx00, flat.shape[-1])
+
+
+def _atlas_taps_bwd(tw, kernel_bwd, residuals, g):
+    idx00, T = residuals
+    bs = g.shape[0]
+    P = g.shape[-1]
+    anchors = jnp.clip(idx00, 0, T - tw - 2)
+    if kernel_bwd:
+        from .resolve_pallas import scatter_rows_pallas
+
+        quad = scatter_rows_pallas(
+            g.reshape(bs, 12, P), anchors, T,
+            interpret=jax.default_backend() != "tpu",
+        )  # [bs, T, 12]
+    else:
+        def per(gb, ib):
+            return jnp.zeros((T, 12), jnp.float32).at[ib].add(
+                gb.reshape(12, P).T
+            )
+
+        quad = jax.vmap(per)(g, anchors)
+
+    def shifted(a, k):  # anchor t contributed to texel t + k
+        return jnp.pad(a, ((0, 0), (k, 0), (0, 0)))[:, :T]
+
+    g_flat = (
+        quad[..., 0:3]
+        + shifted(quad[..., 3:6], 1)
+        + shifted(quad[..., 6:9], tw)
+        + shifted(quad[..., 9:12], tw + 1)
+    )
+    g_idx = np.zeros(idx00.shape, jax.dtypes.float0)
+    return g_flat.transpose(0, 2, 1), g_idx
+
+
+_atlas_taps.defvjp(_atlas_taps_fwd, _atlas_taps_bwd)
+
+
 def sample_textures_atlas_planes(
     fvm_planar, uv_planes, textures, face_index_map, weight_planes, eps
 ):
     """General (loaded-atlas) texture sampler, channel-planar.
 
     The four bilinear taps gather from the atlas held as [bs, 3, th*tw]
-    channel planes via take_along_axis -- the gather (and its scatter-add
-    transpose for texture gradients) runs per color plane with pixels on
-    the lanes.  Reference semantics: rasterize.py:100-153 (perspective-
-    correct UV, uv-bbox-minus-eps clamp, 4-tap bilinear).
+    channel planes (:func:`_atlas_taps`: XLA row gathers forward, a
+    quad-merged MXU one-hot scatter for the texture-gradient transpose).
+    Reference semantics: rasterize.py:100-153 (perspective-correct UV,
+    uv-bbox-minus-eps clamp, 4-tap bilinear).
 
     Args:
       fvm_planar: [bs, 9, H, W] latched winner coords (z at planes 2,5,8).
@@ -126,13 +197,11 @@ def sample_textures_atlas_planes(
     x0, y0, tap_w = _bilinear_taps(x, y)
 
     flat = textures.reshape(bs, 3, th * tw)
-
-    def tap(yi, xi):
-        idx = (yi * tw + xi).reshape(bs, 1, H * W)
-        return jnp.take_along_axis(flat, idx, axis=2).reshape(bs, 3, H, W)
-
-    taps = (tap(y0, x0), tap(y0, x0 + 1), tap(y0 + 1, x0), tap(y0 + 1, x0 + 1))
-    images = sum(w[:, None] * t for w, t in zip(tap_w, taps))
+    idx00 = (y0 * tw + x0).reshape(bs, H * W)
+    taps4 = _atlas_taps(
+        flat, idx00, tw, jax.default_backend() == "tpu"
+    ).reshape(bs, 4, 3, H, W)
+    images = sum(w[:, None] * taps4[:, i] for i, w in enumerate(tap_w))
     return jnp.where(fg[:, None], images, 0.0)
 
 
