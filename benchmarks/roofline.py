@@ -1,0 +1,169 @@
+"""Roofline: measured stage times vs their memory/compute bounds.
+
+For each pipeline stage this prints the HBM bytes it must move, the
+time a perfectly HBM-bound implementation would take at the chip's
+bandwidth, the measured device time (scan-chain N-differencing with a
+trailing fetch -- see README measurement caveats), and the implied
+%-of-speed-of-light.  Stages whose arithmetic dwarfs their traffic are
+compute-bound; for those the table also shows the VPU lane-op bound,
+and %SOL is reported against max(HBM, VPU) -- the binding roof.
+
+Usage: PYTHONPATH=. python benchmarks/roofline.py [--faces-level N]
+
+v5e reference numbers: ~819 GB/s HBM, 8x128 f32 lanes at ~0.94 GHz
+(~0.96 Tlane-op/s on the VPU).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+TEAPOT = "/root/reference/tests_torch/data/teapot.obj"
+HBM_GBS = 819.0
+VPU_LANEOPS = 8 * 128 * 0.94e9
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--faces-level", type=int, default=3,
+                    help="teapot subdivisions (3 -> 158K faces)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import neural_renderer_v2_pytorch_tpu as nr
+    from neural_renderer_v2_pytorch_tpu.ops.camera import look_at, perspective
+    from neural_renderer_v2_pytorch_tpu.ops.differentiation import differentiation
+    from neural_renderer_v2_pytorch_tpu.ops.rasterize import (
+        RasterizeHyperparam, rasterize_silhouettes,
+    )
+    from neural_renderer_v2_pytorch_tpu.ops.resolve_pallas import (
+        resolve_gather_pallas, scatter_to_faces_pallas,
+    )
+    from scaling import subdivide
+
+    def device_time(fn, carry, n1=6, n2=24):
+        def wall(N):
+            @jax.jit
+            def run(v):
+                def body(v, _):
+                    return fn(v), None
+                v, _ = jax.lax.scan(body, v, None, length=N)
+                return v
+            o = run(carry + jnp.float32(1e-5))
+            jax.block_until_ready(o)
+            _ = float(jnp.sum(o))
+            best = float("inf")
+            for r in range(2):
+                vi = carry + jnp.float32(1e-6 * r)
+                jax.block_until_ready(vi)
+                t0 = time.perf_counter()
+                o = run(vi)
+                jax.block_until_ready(o)
+                _ = float(jnp.sum(o))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        w1, w2 = wall(n1), wall(n2)
+        if w2 - w1 < 0.2 * w2:
+            return w2 / n2 * 1e3
+        return (w2 - w1) / (n2 - n1) * 1e3
+
+    v, f = nr.load_obj(TEAPOT)
+    for _ in range(args.faces_level):
+        v, f = subdivide(v, f)
+    nf = f.shape[0]
+    S = 512
+    eye = np.array(nr.get_points_from_angles(2.732, 30, 0), "float32")
+    tv = perspective(look_at(jnp.asarray(v[None]), jnp.asarray(eye)), angle=30.0)
+    fv = jnp.asarray(np.asarray(jnp.take(tv, jnp.asarray(f), axis=1)))
+    F = np.asarray(f)
+
+    print("platform:", jax.default_backend(),
+          "| faces:", nf, "| image:", S)
+    MB = 1024 * 1024
+    rows = []
+
+    def report(name, measured_ms, hbm_bytes, lane_ops=0, note=""):
+        hbm_ms = hbm_bytes / (HBM_GBS * 1e9) * 1e3
+        vpu_ms = lane_ops / VPU_LANEOPS * 1e3
+        roof = max(hbm_ms, vpu_ms)
+        rows.append((name, measured_ms, hbm_bytes / MB, hbm_ms, vpu_ms,
+                     100.0 * roof / measured_ms if measured_ms else 0.0, note))
+
+    # --- resolve + latch forward ------------------------------------------
+    t = device_time(
+        lambda x: x + 1e-12 * resolve_gather_pallas(x, None, S)[1].mean(), fv
+    )
+    # HBM: faces in (+ chunk copy), consts, index/depth/9 latch planes out
+    bytes_resolve = (nf * 9 * 4) * 2 + nf * 17 * 4 + (2 + 9) * S * S * 4
+    # VPU: per group of 2 faces, one (16,128) window x ~45 vector ops/face
+    lane_ops = (nf / 2) * (16 * 128) * 45
+    report("resolve+latch fwd", t, bytes_resolve, lane_ops,
+           "compute-bound: per-face window math")
+
+    # --- pixel->face gradient scatter -------------------------------------
+    fim = jnp.asarray(np.asarray(resolve_gather_pallas(fv, None, S)[0]))
+    g9 = jnp.asarray(np.random.RandomState(0).randn(1, 9, S, S).astype("f"))
+    t = device_time(
+        lambda x: x + 1e-12 * scatter_to_faces_pallas(
+            x, fim, nf, planar=True).sum(),
+        g9,
+    )
+    bytes_scatter = 9 * S * S * 4 + S * S * 4 + nf * 9 * 4
+    # one-hot compares: active (strip, chunk) pairs ~ coherent fim ->
+    # ~3 chunks/strip (measured); each pair compares [256, 8192]
+    strips = S * S // 8192
+    lane_ops = strips * 3 * 256 * 8192
+    report("pixel->face scatter bwd", t, bytes_scatter, lane_ops,
+           "one-hot compares dominate")
+
+    # --- NMR differentiation backward --------------------------------------
+    coord = jnp.asarray(np.random.RandomState(1).rand(1, 2, S, S).astype("f"))
+    img = jnp.asarray(np.random.RandomState(2).rand(1, 1, S, S).astype("f"))
+
+    def nmr_step(x):
+        g = jax.grad(
+            lambda c: jnp.sum(differentiation(img, c) * img)
+        )(x)
+        return x + 1e-12 * g
+    t = device_time(nmr_step, coord)
+    bytes_nmr = (1 + 1 + 2) * S * S * 4 * 3   # images, grads, coords; shifts
+    report("NMR differentiation bwd", t, bytes_nmr, 0, "elementwise shifts")
+
+    # --- full training step -----------------------------------------------
+    hp = RasterizeHyperparam(image_size=S, anti_aliasing=False)
+
+    def step(vv):
+        def loss(vv):
+            tvv = perspective(look_at(vv, jnp.asarray(eye)), angle=30.0)
+            return jnp.sum(rasterize_silhouettes(tvv, F, None, hp) ** 2)
+        return vv - 1e-9 * jax.grad(loss)(vv)
+    t = device_time(step, jnp.asarray(v[None]), 4, 16)
+    bytes_step = bytes_resolve + bytes_scatter + bytes_nmr \
+        + 2 * (nf * 9 * 4 + v.shape[0] * 3 * 4)   # vertex gather + transpose
+    report("FULL silhouette step", t, bytes_step, 0,
+           "sum of parts; resolve roof applies")
+
+    print()
+    print("%-26s %9s %9s %9s %9s %7s  %s" % (
+        "stage", "ms", "MB", "HBM ms", "VPU ms", "%SOL", "note"))
+    for name, ms, mb, hbm, vpu, sol, note in rows:
+        print("%-26s %9.3f %9.1f %9.3f %9.3f %6.1f%%  %s" % (
+            name, ms, mb, hbm, vpu, sol, note))
+    print()
+    print("Reading: %SOL is measured-vs-binding-roof (max of HBM and VPU")
+    print("bounds with the listed traffic/op estimates). The resolve is")
+    print("compute-bound -- its HBM %SOL would be misleadingly tiny; the")
+    print("'speed-of-light' claim applies to the elementwise stages, and")
+    print("the resolve's headroom is scalar-loop + window-granularity waste")
+    print("(each ~2-4 px face pays a (16,128) vector window).")
+
+
+if __name__ == "__main__":
+    import sys
+    sys.path.insert(0, "benchmarks")
+    main()
