@@ -127,7 +127,7 @@ gather_face_vertices.defvjp(_gfv_fwd, _gfv_bwd)
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(3, 4, 5, 6, 7, 8),
+    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9),
 )
 def resolve_and_gather(
     face_vertices,
@@ -139,6 +139,7 @@ def resolve_and_gather(
     draw_backside,
     backend,
     num_rows,
+    latch_z=True,
 ):
     """Returns (face_index_map, fvm_planar, attr_planes).
 
@@ -150,6 +151,10 @@ def resolve_and_gather(
         the tile-sharded path passes ``axis_index('tile') * rows``).
       backend: 'pallas' (fused kernel) or 'xla' (resolve + to_map gathers).
       num_rows: rows to render (static), or None for the full image.
+      latch_z: when False, only the winner's XY coords are latched (the
+        silhouette path never reads z) and fvm_planar's z planes (2,5,8)
+        are constant zeros; no gradient flows into vertex z either way
+        through those planes.
 
     Outputs (H = num_rows):
       face_index_map: [bs, H, W] int32, -1 background (non-differentiable).
@@ -158,17 +163,24 @@ def resolve_and_gather(
     """
     return _forward(
         face_vertices, face_attrs, row_start, image_size, near, far,
-        draw_backside, backend, num_rows,
+        draw_backside, backend, num_rows, latch_z,
     )
 
 
+_XY_PLANES = (0, 1, 3, 4, 6, 7)
+
+
 def _forward(face_vertices, face_attrs, row_start, image_size, near, far,
-             draw_backside, backend, num_rows):
+             draw_backside, backend, num_rows, latch_z):
     bs, nf = face_vertices.shape[:2]
+    coords_src = (
+        face_vertices.reshape(bs, nf, 9) if latch_z
+        else face_vertices[..., :2].reshape(bs, nf, 6)
+    )
     if backend == "pallas":
         from .resolve_pallas import resolve_gather_pallas
 
-        fim, fvm_planar, attr_planes = resolve_gather_pallas(
+        fim, fvm_c, attr_planes = resolve_gather_pallas(
             jax.lax.stop_gradient(face_vertices),
             None if face_attrs is None else jax.lax.stop_gradient(face_attrs),
             image_size,
@@ -178,6 +190,7 @@ def _forward(face_vertices, face_attrs, row_start, image_size, near, far,
             row_start=row_start,
             num_rows=num_rows,
             interpret=_interpret(),
+            latch_z=latch_z,
         )
     else:
         fim = compute_face_index_map(
@@ -185,34 +198,46 @@ def _forward(face_vertices, face_attrs, row_start, image_size, near, far,
             image_size, near, far, draw_backside,
             row_start=row_start, num_rows=num_rows,
         )
-        fvm_planar = to_map(
-            face_vertices.reshape(bs, nf, 9), fim
-        ).transpose(0, 3, 1, 2)
+        fvm_c = to_map(coords_src, fim).transpose(0, 3, 1, 2)
         attr_planes = (
             None if face_attrs is None
             else to_map(face_attrs, fim).transpose(0, 3, 1, 2)
+        )
+    if latch_z:
+        fvm_planar = fvm_c
+    else:
+        # assemble the 9-plane layout with zero z planes (fused away by
+        # XLA into the consumers; both backends produce the same planes)
+        z = jnp.zeros_like(fvm_c[:, :1])
+        fvm_planar = jnp.concatenate(
+            [fvm_c[:, 0:2], z, fvm_c[:, 2:4], z, fvm_c[:, 4:6], z], 1
         )
     return fim, fvm_planar, attr_planes
 
 
 def _fwd(face_vertices, face_attrs, row_start, image_size, near, far,
-         draw_backside, backend, num_rows):
+         draw_backside, backend, num_rows, latch_z):
     out = _forward(
         face_vertices, face_attrs, row_start, image_size, near, far,
-        draw_backside, backend, num_rows,
+        draw_backside, backend, num_rows, latch_z,
     )
     fim = out[0]
     residuals = (fim, face_vertices.shape[1])
     return out, residuals
 
 
-def _bwd(image_size, near, far, draw_backside, backend, num_rows, residuals, g):
+def _bwd(image_size, near, far, draw_backside, backend, num_rows, latch_z,
+         residuals, g):
     fim, num_faces = residuals
     _, g_fvm, g_attr = g
     bs, H, W = fim.shape
     has_attr = g_attr is not None and not isinstance(
         g_attr, jax.custom_derivatives.SymbolicZero
     )
+    if not latch_z:
+        # z planes are constant zeros in the primal: drop their cotangents
+        g_fvm = g_fvm[:, _XY_PLANES]
+    C = g_fvm.shape[1]
     if backend == "pallas":
         from .resolve_pallas import scatter_to_faces_pallas
 
@@ -223,15 +248,21 @@ def _bwd(image_size, near, far, draw_backside, backend, num_rows, residuals, g):
         per_face = scatter_to_faces_pallas(
             g_all, fim, num_faces, planar=True, interpret=_interpret()
         )
-        g_faces = per_face[..., :9].reshape(bs, num_faces, 3, 3)
-        g_attrs = per_face[..., 9:] if has_attr else None
+        g_coords = per_face[..., :C]
+        g_attrs = per_face[..., C:] if has_attr else None
     else:
-        g_faces = _scatter_to_faces(
+        g_coords = _scatter_to_faces(
             g_fvm.transpose(0, 2, 3, 1), fim, num_faces
-        ).reshape(bs, num_faces, 3, 3)
+        )
         g_attrs = (
             _scatter_to_faces(g_attr.transpose(0, 2, 3, 1), fim, num_faces)
             if has_attr else None
+        )
+    if latch_z:
+        g_faces = g_coords.reshape(bs, num_faces, 3, 3)
+    else:
+        g_faces = jnp.pad(
+            g_coords.reshape(bs, num_faces, 3, 2), ((0, 0),) * 3 + ((0, 1),)
         )
     # row_start is an integer scalar: its cotangent is the trivial float0
     g_row_start = np.zeros((), jax.dtypes.float0)

@@ -178,9 +178,13 @@ def compute_channel_maps(
         if texel_attrs is not None:
             attrs.append(texel_attrs)
         face_attrs = jnp.concatenate(attrs, -1) if attrs else None
+        # silhouette-only renders never read the winner's z: latch XY only
+        # (the kernel skips a third of its latch stores and the backward
+        # scatter shrinks from 9 to 6 planes)
+        latch_z = hp.draw_rgb or hp.draw_depth
         face_index_map, fvm_planar, attr_planes = resolve_and_gather(
             face_vertices, face_attrs, row_start, render_size, hp.near,
-            hp.far, hp.draw_backside, backend, num_rows,
+            hp.far, hp.draw_backside, backend, num_rows, latch_z,
         )  # fvm_planar: [bs, 9, H, W]; attr_planes: [bs, A, H, W]
         uv_planes = None
         normal_vertex_planes = None

@@ -149,6 +149,7 @@ def _windowed_kernel(
     col_window,
     num_attrs,
     latch,
+    coords_dim,
     group_size,
     draw_backside,
 ):
@@ -176,7 +177,7 @@ def _windowed_kernel(
         depth_ref[...] = jnp.full((1, num_rows, image_size), far, jnp.float32)
         index_ref[...] = jnp.full((1, num_rows, image_size), -1, jnp.int32)
         if latch:
-            coords_ref[...] = jnp.zeros((1, 9, num_rows, image_size), jnp.float32)
+            coords_ref[...] = jnp.zeros((1, coords_dim, num_rows, image_size), jnp.float32)
             if num_attrs:
                 attr_out_ref[...] = jnp.zeros(
                     (1, num_attrs, num_rows, image_size), jnp.float32
@@ -284,7 +285,7 @@ def _windowed_kernel(
                             mask=hit,
                         )
                         if latch:
-                            for p in range(9):
+                            for p in range(coords_dim):
                                 val = cascade(
                                     [coords_in_ref[0, 0, p, k] for k in ks]
                                 )
@@ -327,6 +328,7 @@ def _run_windowed(
     group_size=2,
     row_start=0,
     num_rows=None,
+    coords_dim=9,
 ):
     """Driver for the bin-free windowed kernel: reshape faces into chunks
     (no binning, no gathers) -> pallas_call.  Same return contract as
@@ -366,8 +368,12 @@ def _run_windowed(
 
     in_specs = [smem1((1,)), smem1((1,)), chunk_spec(17)]
     if latch:
-        inputs.append(chunked(face_vertices.reshape(bs, nf, 9)))
-        in_specs.append(chunk_spec(9))
+        coords_src = (
+            face_vertices.reshape(bs, nf, 9) if coords_dim == 9
+            else face_vertices[..., :2].reshape(bs, nf, 6)
+        )
+        inputs.append(chunked(coords_src))
+        in_specs.append(chunk_spec(coords_dim))
     if num_attrs:
         inputs.append(chunked(face_attrs))
         in_specs.append(chunk_spec(num_attrs))
@@ -383,10 +389,15 @@ def _run_windowed(
     ]
     if latch:
         out_specs.append(
-            pl.BlockSpec((1, 9, num_rows, image_size), lambda b, c: (b, 0, 0, 0))
+            pl.BlockSpec(
+                (1, coords_dim, num_rows, image_size),
+                lambda b, c: (b, 0, 0, 0),
+            )
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((bs, 9, num_rows, image_size), jnp.float32)
+            jax.ShapeDtypeStruct(
+                (bs, coords_dim, num_rows, image_size), jnp.float32
+            )
         )
         if num_attrs:
             out_specs.append(
@@ -412,6 +423,7 @@ def _run_windowed(
         col_window=col_window,
         num_attrs=num_attrs,
         latch=latch,
+        coords_dim=coords_dim,
         group_size=group_size,
         draw_backside=draw_backside,
     )
@@ -469,6 +481,7 @@ def _binned_kernel(
     row_window,
     num_attrs,
     latch,
+    coords_dim,
     group_size,
 ):
     """Z-resolve over host-binned per-tile face lists.
@@ -497,7 +510,7 @@ def _binned_kernel(
         depth_ref[...] = jnp.full((1, tile_h, tile_w), far, jnp.float32)
         index_ref[...] = jnp.full((1, tile_h, tile_w), -1, jnp.int32)
         if latch:
-            coords_ref[...] = jnp.zeros((1, 9, tile_h, tile_w), jnp.float32)
+            coords_ref[...] = jnp.zeros((1, coords_dim, tile_h, tile_w), jnp.float32)
             if num_attrs:
                 attr_out_ref[...] = jnp.zeros(
                     (1, num_attrs, tile_h, tile_w), jnp.float32
@@ -590,7 +603,7 @@ def _binned_kernel(
                 )
                 if latch:
                     win_shape = (rw, tile_w)
-                    for j in range(9):
+                    for j in range(coords_dim):
                         val = cascade(
                             [coords_in_ref[0, 0, j, k] for k in ks]
                         )
@@ -682,6 +695,7 @@ def _run_binned(
     group_size=2,
     row_start=0,
     num_rows=None,
+    coords_dim=9,
 ):
     """Common driver: bin -> gather bins -> pallas_call.
 
@@ -773,8 +787,12 @@ def _run_binned(
         chunk_spec(17),
     ]
     if latch:
-        inputs.append(bin_gather(face_vertices.reshape(bs, nf, 9)))
-        in_specs.append(chunk_spec(9))
+        coords_src = (
+            face_vertices.reshape(bs, nf, 9) if coords_dim == 9
+            else face_vertices[..., :2].reshape(bs, nf, 6)
+        )
+        inputs.append(bin_gather(coords_src))
+        in_specs.append(chunk_spec(coords_dim))
     if num_attrs:
         inputs.append(bin_gather(face_attrs))
         in_specs.append(chunk_spec(num_attrs))
@@ -791,12 +809,14 @@ def _run_binned(
     if latch:
         out_specs.append(
             pl.BlockSpec(
-                (1, 9, tile_h, tile_w),
+                (1, coords_dim, tile_h, tile_w),
                 lambda b, t, c: (b, 0, t // n_tile_x, t % n_tile_x),
             )
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((bs, 9, num_rows, image_size), jnp.float32)
+            jax.ShapeDtypeStruct(
+                (bs, coords_dim, num_rows, image_size), jnp.float32
+            )
         )
         if num_attrs:
             out_specs.append(
@@ -823,6 +843,7 @@ def _run_binned(
         row_window=row_window,
         num_attrs=num_attrs,
         latch=latch,
+        coords_dim=coords_dim,
         group_size=group_size,
     )
 
@@ -878,6 +899,7 @@ def _pick_mode(mode, image_size, num_rows, latch, num_attrs):
     static_argnames=(
         "image_size", "near", "far", "draw_backside", "face_chunk", "tile",
         "row_window", "interpret", "num_rows", "mode", "group_size",
+        "latch_z",
     ),
 )
 def resolve_gather_pallas(
@@ -895,6 +917,7 @@ def resolve_gather_pallas(
     num_rows=None,
     mode="auto",
     group_size=2,
+    latch_z=True,
 ):
     """Fused z-resolve + winner-attribute gather (forward only).
 
@@ -904,16 +927,21 @@ def resolve_gather_pallas(
         latch for the winning face (e.g. flattened UV triangles), or None.
       row_start/num_rows: optional row window (tile-sharded rendering);
         ``row_start`` may be traced, ``num_rows`` is static.
+      latch_z: when False latch only the winner's XY coords (6 planes,
+        layout x0,y0,x1,y1,x2,y2) -- silhouette rendering never reads z,
+        so the kernel skips a third of its latch stores.
 
     Returns (channel-planar, the kernel's native layout; H = num_rows):
       (face_index_map [bs,H,W] i32,
-       fvm_planar [bs,9,H,W] f32 winner vertex coords -- 0 on background,
+       fvm_planar [bs,9,H,W] (or [bs,6,H,W] when not latch_z) f32 winner
+       vertex coords -- 0 on background,
        attr_planes [bs,A,H,W] f32 or None).
 
     Gradients are wired up by ``ops.gather_resolve.resolve_and_gather``
     (scatter-add backward); this function itself is non-differentiable.
     """
     num_attrs = 0 if face_attrs is None else face_attrs.shape[-1]
+    coords_dim = 9 if latch_z else 6
     if tile is not None and mode == "auto":
         mode = "binned"  # an explicit tile pins the binned kernel
     if _pick_mode(mode, image_size, num_rows, True, num_attrs) == "windowed":
@@ -921,12 +949,14 @@ def resolve_gather_pallas(
             face_vertices, face_attrs, image_size, near, far, draw_backside,
             face_chunk, row_window, 128, True, interpret,
             group_size=group_size, row_start=row_start, num_rows=num_rows,
+            coords_dim=coords_dim,
         )
     else:
         index, _, coords, attr_planes = _run_binned(
             face_vertices, face_attrs, image_size, near, far, draw_backside,
             face_chunk, tile, row_window, True, interpret,
             group_size=group_size, row_start=row_start, num_rows=num_rows,
+            coords_dim=coords_dim,
         )
     return index, coords, attr_planes
 
