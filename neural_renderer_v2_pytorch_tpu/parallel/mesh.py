@@ -47,19 +47,11 @@ def make_mesh(data=1, tile=None, face=1, devices=None):
 
 
 def auto_mesh(n_devices=None):
-    """Heuristic mesh: prefer tile-parallelism (helps even at batch 1),
-    keep data axis for large batches."""
+    """Heuristic mesh: prefer tile-parallelism (helps even at batch 1);
+    add a modest data axis only once there are >= 8 devices."""
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
-    # largest power-of-two split favoring tile
-    data = 1
-    while n % 2 == 0 and data < 2:
-        # a modest data axis when we have >= 4 devices
-        if n >= 8:
-            data *= 2
-            n //= 2
-        else:
-            break
-    return make_mesh(data=data, devices=devices)
+    data = 2 if n >= 8 and n % 2 == 0 else 1
+    return make_mesh(data=data, tile=n // data, devices=devices)

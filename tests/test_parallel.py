@@ -245,6 +245,66 @@ def test_sharded_texel_fast_path_matches_single(transformed_batch, teapot):
     np.testing.assert_allclose(single, general, atol=1e-4)
 
 
+def test_auto_mesh_heuristic():
+    """auto_mesh: tile-first, a data axis only from 8 devices up."""
+    from neural_renderer_v2_pytorch_tpu.parallel.mesh import auto_mesh
+
+    m8 = auto_mesh(8)
+    assert dict(m8.shape) == {"data": 2, "tile": 4}
+    m4 = auto_mesh(4)
+    assert dict(m4.shape) == {"data": 1, "tile": 4}
+    m2 = auto_mesh(2)
+    assert dict(m2.shape) == {"data": 1, "tile": 2}
+    m1 = auto_mesh(1)
+    assert dict(m1.shape) == {"data": 1, "tile": 1}
+
+
+def test_resolve_and_gather_latch_z_paths():
+    """latch_z=False (the silhouette path) must produce the same planes
+    on both backends -- XY planes latched, z planes exactly zero -- and
+    route gradients only into vertex XY."""
+    from neural_renderer_v2_pytorch_tpu.ops.gather_resolve import (
+        resolve_and_gather,
+    )
+
+    rng = np.random.RandomState(21)
+    fv = rng.uniform(-1, 1, size=(1, 29, 3, 3)).astype("float32")
+    fv[..., 2] = np.abs(fv[..., 2]) + 0.4
+    FV = jnp.asarray(fv)
+
+    outs = {}
+    for backend in ("xla", "pallas"):
+        fim, fvm, _ = resolve_and_gather(
+            FV, None, 0, 64, 0.1, 100.0, True, backend, None, False
+        )
+        outs[backend] = (np.asarray(fim), np.asarray(fvm))
+    np.testing.assert_array_equal(outs["xla"][0], outs["pallas"][0])
+    np.testing.assert_array_equal(outs["xla"][1], outs["pallas"][1])
+    assert np.all(outs["xla"][1][:, (2, 5, 8)] == 0)  # z planes zero
+
+    # full-latch reference: XY planes identical
+    _, fvm9, _ = resolve_and_gather(
+        FV, None, 0, 64, 0.1, 100.0, True, "xla", None, True
+    )
+    np.testing.assert_array_equal(
+        outs["xla"][1][:, (0, 1, 3, 4, 6, 7)],
+        np.asarray(fvm9)[:, (0, 1, 3, 4, 6, 7)],
+    )
+
+    cot = rng.randn(1, 9, 64, 64).astype("float32")
+
+    def loss(v, latch_z):
+        _, fvm, _ = resolve_and_gather(
+            v, None, 0, 64, 0.1, 100.0, True, "xla", None, latch_z
+        )
+        return jnp.sum(fvm * cot)
+
+    g6 = np.asarray(jax.grad(lambda v: loss(v, False))(FV))
+    g9 = np.asarray(jax.grad(lambda v: loss(v, True))(FV))
+    assert np.all(g6[..., 2] == 0)  # no z gradient without the z latch
+    np.testing.assert_allclose(g6[..., :2], g9[..., :2], atol=1e-6)
+
+
 def test_tile_only_mesh_batch1(teapot):
     v, f = teapot
     renderer = nr.Renderer()
