@@ -151,6 +151,43 @@ def main():
             return v - 1e-9 * jax.grad(loss)(v)
         report(name, device_time(step, V), 256 ** 2)
 
+    # loaded-atlas (real mesh, 1190x1920 packed atlas) general sampler
+    import os
+
+    model = ("/root/reference/tests_torch/data/"
+             "4e49873292196f02574b5684eaec43e9/model.obj")
+    if os.path.exists(model):
+        lv, lf, lvt, lft, ltex = nr.load_obj(model, load_textures=True)
+        leye = np.array(nr.get_points_from_angles(2.5, 10, -90), "float32")
+        lp = RasterizeParam(
+            vertices_textures=np.asarray(lvt[None]),
+            faces_textures=np.asarray(lft), textures=np.asarray(ltex[None]),
+        )
+        LF, LV = np.asarray(lf), jnp.asarray(lv[None])
+
+        def lstep(v, p=lp):
+            def loss(v):
+                tv = perspective(look_at(v, leye), angle=30.0)
+                return jnp.sum(rasterize_rgba(tv, LF, p, hp) ** 2)
+            return v - 1e-9 * jax.grad(loss)(v)
+        report("textured loaded-atlas 256^2 AA (3.6K faces)",
+               device_time(lstep, LV), 256 ** 2)
+
+        LT = jnp.asarray(np.asarray(ltex[None]))
+
+        def tstep(t):
+            def loss(t):
+                tv = perspective(look_at(LV, leye), angle=30.0)
+                p = RasterizeParam(
+                    vertices_textures=np.asarray(lvt[None]),
+                    faces_textures=np.asarray(lft),
+                    textures=t,
+                )
+                return jnp.sum(rasterize_rgba(tv, LF, p, hp) ** 2)
+            return t - 1e-9 * jax.grad(loss)(t)
+        report("...optimizing the loaded atlas (tex grads)",
+               device_time(tstep, LT), 256 ** 2)
+
     # face-count scaling at 512^2 (no AA)
     hp512 = RasterizeHyperparam(image_size=512, anti_aliasing=False)
     v, f = vertices, faces
