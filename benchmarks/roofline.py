@@ -21,6 +21,11 @@ import time
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 TEAPOT = "/root/reference/tests_torch/data/teapot.obj"
 HBM_GBS = 819.0
 VPU_LANEOPS = 8 * 128 * 0.94e9

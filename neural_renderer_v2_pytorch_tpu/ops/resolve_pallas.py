@@ -916,7 +916,7 @@ def resolve_gather_pallas(
     row_start=0,
     num_rows=None,
     mode="auto",
-    group_size=2,
+    group_size=None,
     latch_z=True,
 ):
     """Fused z-resolve + winner-attribute gather (forward only).
@@ -942,6 +942,12 @@ def resolve_gather_pallas(
     """
     num_attrs = 0 if face_attrs is None else face_attrs.shape[-1]
     coords_dim = 9 if latch_z else 6
+    if group_size is None:
+        # tuned on v5e at 512^2: tiny faces (large meshes) amortize the
+        # per-group scalar bookkeeping over 4 faces when the latch is
+        # light (xy-only: 13.1 ms vs 17.1 at G=2 for 158K faces); heavy
+        # latches and big faces prefer G=2 (union-window growth wins)
+        group_size = 4 if (not latch_z and face_vertices.shape[1] >= 16384) else 2
     if tile is not None and mode == "auto":
         mode = "binned"  # an explicit tile pins the binned kernel
     if _pick_mode(mode, image_size, num_rows, True, num_attrs) == "windowed":
