@@ -1433,7 +1433,7 @@ def compute_face_index_map_pallas(
     num_rows=None,
     return_depth=False,
     mode="auto",
-    group_size=2,
+    group_size=None,
 ):
     """Per-pixel z-buffered visible-face id (Pallas TPU kernel).
 
@@ -1448,6 +1448,10 @@ def compute_face_index_map_pallas(
     (index, depth) when ``return_depth``.
     Bit-identical semantics to ``resolve.compute_face_index_map``.
     """
+    if group_size is None:
+        # no latch stores at all: large meshes amortize scalar bookkeeping
+        # over 4-face groups like the xy-latch path (resolve_gather_pallas)
+        group_size = 4 if faces.shape[1] >= 16384 else 2
     if tile is not None and mode == "auto":
         mode = "binned"  # an explicit tile pins the binned kernel
     if _pick_mode(mode, image_size, num_rows, False, 0) == "windowed":
