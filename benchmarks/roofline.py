@@ -111,7 +111,8 @@ def main():
            "compute-bound: per-face window math")
 
     # --- pixel->face gradient scatter -------------------------------------
-    fim = jnp.asarray(np.asarray(resolve_gather_pallas(fv, None, S)[0]))
+    # numpy: a jnp closure into the timing jit adds ~29 ms per execution
+    fim = np.asarray(resolve_gather_pallas(fv, None, S)[0])
     g9 = jnp.asarray(np.random.RandomState(0).randn(1, 9, S, S).astype("f"))
     t = device_time(
         lambda x: x + 1e-12 * scatter_to_faces_pallas(
@@ -128,7 +129,7 @@ def main():
 
     # --- NMR differentiation backward --------------------------------------
     coord = jnp.asarray(np.random.RandomState(1).rand(1, 2, S, S).astype("f"))
-    img = jnp.asarray(np.random.RandomState(2).rand(1, 1, S, S).astype("f"))
+    img = np.random.RandomState(2).rand(1, 1, S, S).astype("f")  # numpy closure
 
     def nmr_step(x):
         g = jax.grad(

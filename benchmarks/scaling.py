@@ -179,10 +179,13 @@ def main():
                device_time(lstep, LV), 256 ** 2)
 
         LT = jnp.asarray(np.asarray(ltex[None]))
+        # numpy copy for the closure: capturing a jnp DEVICE array into a
+        # jit costs ~29 ms on every later execution (README caveats)
+        LVn = np.asarray(lv[None])
 
         def tstep(t):
             def loss(t):
-                tv = perspective(look_at(LV, leye), angle=30.0)
+                tv = perspective(look_at(LVn, leye), angle=30.0)
                 p = RasterizeParam(
                     vertices_textures=np.asarray(lvt[None]),
                     faces_textures=np.asarray(lft),

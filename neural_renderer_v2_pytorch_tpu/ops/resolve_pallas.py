@@ -967,8 +967,23 @@ def resolve_gather_pallas(
     return index, coords, attr_planes
 
 
+def _bitpack_mask(occ):
+    """Pack a bool occupancy array [..., n] into int32 words of 32 bits
+    (little-endian within the word) for SMEM: flat int32 masks blow the
+    ~1 MB SMEM budget once strips x chunks reaches atlas/large-mesh
+    scale.  Kernels test ``(mask[..., c // 32] >> (c % 32)) & 1``."""
+    n = occ.shape[-1]
+    n_words = -(-n // 32)
+    occ = jnp.pad(occ, [(0, 0)] * (occ.ndim - 1) + [(0, n_words * 32 - n)])
+    return jnp.sum(
+        occ.reshape(*occ.shape[:-1], n_words, 32).astype(jnp.int32)
+        << jnp.arange(32, dtype=jnp.int32),
+        axis=-1,
+    )
+
+
 def _scatter_kernel(
-    mask_ref,    # [1, n_strips, n_chunks] int32 in SMEM: strip-chunk occupancy
+    mask_ref,    # [1, n_strips, n_words] int32 in SMEM: BITPACKED occupancy
     fim_ref,     # [1, 1, 1, T] int32: face-index map strip (global face ids)
     grad_ref,    # [1, 1, D, T] f32: per-pixel gradients strip, coord-planar
     out_ref,     # [1, D, nf_p] f32: THE WHOLE per-face gradient accumulator
@@ -1021,7 +1036,9 @@ def _scatter_kernel(
     fim = fim_ref[0, 0]                      # [1, T] int32
 
     def chunk_body(c, _):
-        @pl.when(mask_ref[0, t, c] != 0)
+        bit = (mask_ref[0, t, c // 32] >> (c % 32)) & 1
+
+        @pl.when(bit != 0)
         def _accumulate():
             ids = c * face_chunk + jax.lax.broadcasted_iota(
                 jnp.int32, (face_chunk, 1), 0
@@ -1073,25 +1090,25 @@ def scatter_to_faces_pallas(
         bs, H, W, D = grad_map.shape
     P = H * W
     strip = min(strip, max(512, P))
+    face_chunk = max(128, (face_chunk + 127) // 128 * 128)
     # the [face_chunk, strip] bf16 one-hot lives on the scoped-VMEM stack
     # (16 MB limit, shared with the accumulator and grad strips)
-    while face_chunk * strip * 2 > 8 * 1024 * 1024 and strip > 512:
+    ONE_HOT_BUDGET = 8 * 1024 * 1024
+    while -(-P // strip) > 1024 and face_chunk * strip * 2 < ONE_HOT_BUDGET:
+        strip *= 2     # cap the strip count while the one-hot budget allows
+    while face_chunk * strip * 2 > ONE_HOT_BUDGET and face_chunk > 128:
+        face_chunk //= 2
+    while face_chunk * strip * 2 > ONE_HOT_BUDGET and strip > 512:
         strip //= 2
-    # cap the strip count (the SMEM occupancy mask scales with it)
-    while -(-P // strip) > 1024:
-        strip *= 2
     # pad the pixel axis up to a strip multiple (padding pixels get
     # fim = -1, matching no chunk) -- shrinking the strip instead blows
     # up the strip count for non-power-of-two P
     pad_p = (-P) % strip
     n_strips = (P + pad_p) // strip
 
-    # lane-aligned chunk stores need K % 128 == 0
-    face_chunk = max(128, (face_chunk + 127) // 128 * 128)
-    # the occupancy mask lives in SMEM (~1 MB); its block pads the
-    # trailing (chunk) dim to 128 lanes
+    # the BITPACKED occupancy mask (32 chunks/word) lives in SMEM (~1 MB)
     while (
-        n_strips * max(-(-num_faces // face_chunk), 128) * 4 > 512 * 1024
+        n_strips * (-(-(-(-num_faces // face_chunk)) // 32)) * 4 > 512 * 1024
         and face_chunk < num_faces
     ):
         face_chunk *= 2
@@ -1117,9 +1134,11 @@ def scatter_to_faces_pallas(
     chunk_of = jnp.where(fim_pad < 0, -1, fim_pad // face_chunk).reshape(
         bs, n_strips, strip
     )
-    mask = jnp.any(
+    occ = jnp.any(
         chunk_of[..., None] == jnp.arange(n_chunks, dtype=jnp.int32), axis=2
-    ).astype(jnp.int32)                                  # [bs, n_strips, n_chunks]
+    )
+    mask = _bitpack_mask(occ)                            # [bs, n_strips, n_words]
+    n_words = mask.shape[-1]
 
     kernel = functools.partial(
         _scatter_kernel,
@@ -1133,7 +1152,7 @@ def scatter_to_faces_pallas(
         grid=(bs, n_strips),
         in_specs=[
             pl.BlockSpec(
-                (1, n_strips, n_chunks),
+                (1, n_strips, n_words),
                 lambda b, t: (b, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
@@ -1233,8 +1252,16 @@ def scatter_rows_pallas(
     """
     bs, D, P = grads.shape
     strip = min(strip, max(512, P))
-    while -(-P // strip) > 1024:
+    chunk = max(128, (chunk + 127) // 128 * 128)
+    # joint budget: the [chunk, strip] bf16 one-hot + the part accumulator
+    # share the 16 MB scoped-VMEM stack
+    ONE_HOT_BUDGET = 6 * 1024 * 1024
+    while -(-P // strip) > 1024 and chunk * strip * 2 < ONE_HOT_BUDGET:
         strip *= 2
+    while chunk * strip * 2 > ONE_HOT_BUDGET and chunk > 128:
+        chunk //= 2
+    while chunk * strip * 2 > ONE_HOT_BUDGET and strip > 512:
+        strip //= 2
     pad_p = (-P) % strip
     n_strips = (P + pad_p) // strip
     ids_p = jnp.pad(
@@ -1242,7 +1269,6 @@ def scatter_rows_pallas(
     )
     g_p = jnp.pad(grads, ((0, 0), (0, 0), (0, pad_p)))
 
-    chunk = max(128, (chunk + 127) // 128 * 128)
     chunks_per_part = max(1, part_bytes // (D * chunk * 4))
     part = chunks_per_part * chunk
     n_parts = -(-num_rows_out // part)
@@ -1255,14 +1281,8 @@ def scatter_rows_pallas(
         == jnp.arange(n_chunks, dtype=jnp.int32),
         axis=2,
     )                                        # [bs, n_strips, n_chunks]
-    # bitpack 32 chunks per int32 word for SMEM
-    n_words = -(-n_chunks // 32)
-    occ = jnp.pad(occ, ((0, 0), (0, 0), (0, n_words * 32 - n_chunks)))
-    mask = jnp.sum(
-        occ.reshape(bs, n_strips, n_words, 32).astype(jnp.int32)
-        << jnp.arange(32, dtype=jnp.int32),
-        axis=-1,
-    )                                        # [bs, n_strips, n_words]
+    mask = _bitpack_mask(occ)                # [bs, n_strips, n_words]
+    n_words = mask.shape[-1]
 
     kernel = functools.partial(
         _scatter_rows_kernel,
@@ -1293,7 +1313,7 @@ def scatter_rows_pallas(
 
 
 def _gather_kernel(
-    mask_ref,    # [1, n_strips, n_chunks] int32 in SMEM: strip-chunk occupancy
+    mask_ref,    # [1, n_strips, n_words] int32 in SMEM: BITPACKED occupancy
     ids_ref,     # [1, 1, 1, T] int32: row ids to gather, one strip
     table_ref,   # [1, D, n_p] f32: THE WHOLE table, VMEM-resident
     out_ref,     # [1, 1, D, T] f32
@@ -1325,7 +1345,9 @@ def _gather_kernel(
     ids = ids_ref[0, 0]                      # [1, T]
 
     def chunk_body(c, _):
-        @pl.when(mask_ref[0, t, c] != 0)
+        bit = (mask_ref[0, t, c // 32] >> (c % 32)) & 1
+
+        @pl.when(bit != 0)
         def _accumulate():
             rows = c * chunk + jax.lax.broadcasted_iota(
                 jnp.int32, (chunk, 1), 0
@@ -1370,18 +1392,22 @@ def gather_rows_pallas(table, ids, strip=2048, chunk=512, interpret=False):
     bs, n, D = table.shape
     P = ids.shape[-1]
     strip = min(strip, max(128, P))
-    # cap the strip count (the SMEM occupancy mask scales with it)
-    while -(-P // strip) > 1024:
-        strip *= 2
+    chunk = max(128, (chunk + 127) // 128 * 128)
+    # the [chunk, strip] bf16 one-hot lives on the scoped-VMEM stack
+    ONE_HOT_BUDGET = 8 * 1024 * 1024
+    while -(-P // strip) > 1024 and chunk * strip * 2 < ONE_HOT_BUDGET:
+        strip *= 2     # cap the strip count while the one-hot budget allows
+    while chunk * strip * 2 > ONE_HOT_BUDGET and chunk > 128:
+        chunk //= 2
+    while chunk * strip * 2 > ONE_HOT_BUDGET and strip > 512:
+        strip //= 2
     pad_p = (-P) % strip
     ids_p = jnp.pad(ids.reshape(bs, P), ((0, 0), (0, pad_p)))
     n_strips = (P + pad_p) // strip
 
-    chunk = max(128, (chunk + 127) // 128 * 128)
-    # the occupancy mask lives in SMEM (~1 MB); its block pads the
-    # trailing (chunk) dim to 128 lanes -- coarsen chunks until it fits
+    # the BITPACKED occupancy mask (32 chunks/word) lives in SMEM (~1 MB)
     while (
-        n_strips * max(-(-n // chunk), 128) * 4 > 512 * 1024 and chunk < n
+        n_strips * (-(-(-(-n // chunk)) // 32)) * 4 > 512 * 1024 and chunk < n
     ):
         chunk *= 2
     pad_n = (-n) % chunk
@@ -1392,11 +1418,13 @@ def gather_rows_pallas(table, ids, strip=2048, chunk=512, interpret=False):
     )  # [bs, D, n_p]
 
     chunk_of = ids_p // chunk
-    mask = jnp.any(
+    occ = jnp.any(
         chunk_of.reshape(bs, n_strips, strip)[..., None]
         == jnp.arange(n_chunks, dtype=jnp.int32),
         axis=2,
-    ).astype(jnp.int32)
+    )
+    mask = _bitpack_mask(occ)
+    n_words = mask.shape[-1]
 
     kernel = functools.partial(
         _gather_kernel, strip=strip, chunk=chunk, n_chunks=n_chunks, D=D
@@ -1406,7 +1434,7 @@ def gather_rows_pallas(table, ids, strip=2048, chunk=512, interpret=False):
         grid=(bs, n_strips),
         in_specs=[
             pl.BlockSpec(
-                (1, n_strips, n_chunks), lambda b, t: (b, 0, 0),
+                (1, n_strips, n_words), lambda b, t: (b, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec((1, 1, 1, strip), lambda b, t: (b, t, 0, 0)),

@@ -137,9 +137,10 @@ def _atlas_taps_bwd(tw, kernel_bwd, residuals, g):
     if kernel_bwd:
         from .resolve_pallas import scatter_rows_pallas
 
+        from .gather_resolve import _interpret
+
         quad = scatter_rows_pallas(
-            g.reshape(bs, 12, P), anchors, T,
-            interpret=jax.default_backend() != "tpu",
+            g.reshape(bs, 12, P), anchors, T, interpret=_interpret()
         )  # [bs, T, 12]
     else:
         def per(gb, ib):
@@ -196,10 +197,12 @@ def sample_textures_atlas_planes(
     )
     x0, y0, tap_w = _bilinear_taps(x, y)
 
+    from .gather_resolve import _interpret
+
     flat = textures.reshape(bs, 3, th * tw)
     idx00 = (y0 * tw + x0).reshape(bs, H * W)
     taps4 = _atlas_taps(
-        flat, idx00, tw, jax.default_backend() == "tpu"
+        flat, idx00, tw, not _interpret()
     ).reshape(bs, 4, 3, H, W)
     images = sum(w[:, None] * taps4[:, i] for i, w in enumerate(tap_w))
     return jnp.where(fg[:, None], images, 0.0)
@@ -253,7 +256,7 @@ def face_texel_attrs(textures, num_faces, texture_size):
     grid cell (f // tw, f % tw) (utils/helpers.py create_textures,
     reference utils.py:30-52).  Returns [bs, nf, ts*ts*3] with texel
     t = y_local*ts + x_local, channel-minor -- the attribute layout
-    consumed by :func:`sample_textures_from_texels`.  Pure reshape /
+    consumed by :func:`sample_textures_texel_planes`.  Pure reshape /
     transpose / slice, so texture gradients flow straight through.
     """
     bs = textures.shape[0]
@@ -428,8 +431,8 @@ def sample_textures_texel_planes(
     fvm_planar, uv_planes, texel_planes, face_index_map, weight_planes,
     eps, texture_size, tile_width,
 ):
-    """Planar twin of :func:`sample_textures_from_texels`: gather-free
-    bilinear sampling from per-face latched texel patches.
+    """Gather-free bilinear sampling from per-face latched texel
+    patches, channel-planar.
 
     Args:
       fvm_planar: [bs, 9, H, W] latched winner coords (z at planes 2,5,8).

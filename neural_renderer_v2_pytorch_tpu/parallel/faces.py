@@ -90,12 +90,13 @@ def compute_face_index_map_face_sharded(
     local = jax.lax.dynamic_slice_in_dim(face_vertices, start, per, axis=1)
 
     if backend == "pallas":
+        from ..ops.gather_resolve import _interpret
         from ..ops.resolve_pallas import compute_face_index_map_pallas
 
         index, depth = compute_face_index_map_pallas(
             local, image_size, near, far, draw_backside,
             row_start=row_start, num_rows=num_rows, return_depth=True,
-            interpret=jax.default_backend() != "tpu",
+            interpret=_interpret(),
         )
     else:
         index, depth = compute_face_index_map(
