@@ -105,8 +105,9 @@ def main():
     )
     # HBM: faces in (+ chunk copy), consts, index/depth/9 latch planes out
     bytes_resolve = (nf * 9 * 4) * 2 + nf * 17 * 4 + (2 + 9) * S * S * 4
-    # VPU: per group of 2 faces, one (16,128) window x ~45 vector ops/face
-    lane_ops = (nf / 2) * (16 * 128) * 45
+    # VPU: groups of 4 tiny faces share one (16,128) window; ~22 accept
+    # ops per face + ~40 shared load/store/latch ops per group
+    lane_ops = (nf / 4) * (16 * 128) * (4 * 22 + 40)
     report("resolve+latch fwd", t, bytes_resolve, lane_ops,
            "compute-bound: per-face window math")
 

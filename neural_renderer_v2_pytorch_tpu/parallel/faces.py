@@ -71,8 +71,8 @@ def compute_face_index_map_face_sharded(
 
     Must run inside ``shard_map`` on a mesh that has the ``axis``;
     ``face_vertices`` [bs, nf, 3, 3] is the FULL (replicated) face set --
-    each shard resolves its contiguous 1/n slice (through the binned
-    Pallas kernel when ``backend == 'pallas'``) and the winners combine
+    each shard resolves its contiguous 1/n slice (through the Pallas
+    resolve kernel when ``backend == 'pallas'``) and the winners combine
     with :func:`ordered_z_combine`.  Returns the combined (replicated)
     [bs, num_rows, W] int32 map with GLOBAL face ids.
     """
