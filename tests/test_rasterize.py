@@ -335,3 +335,55 @@ def test_odd_image_size_renders(reference_data):
     sil = np.asarray(renderer.render_silhouettes(vertices[None], faces))
     assert sil.shape == (1, 50, 50)
     assert 0.05 < sil.mean() < 0.3
+
+
+def test_renderer_look_mode_and_background_image(reference_data):
+    """Facade coverage for the remaining Renderer attributes: 
+    camera_mode='look' (fixed gaze direction) must match the manual
+    look() pipeline, and a full background IMAGE (not just a color) must
+    show through unchanged on background pixels (the reference blends
+    pre-flip, chainer rasterize.py:574-577)."""
+    import jax.numpy as jnp
+
+    from neural_renderer_v2_pytorch_tpu.ops.camera import look, perspective as persp
+    from neural_renderer_v2_pytorch_tpu.ops.rasterize import (
+        rasterize_silhouettes as rs,
+    )
+
+    vertices, faces = nr.load_obj(str(reference_data / "teapot.obj"))
+    renderer = nr.Renderer()
+    renderer.image_size = 64
+    renderer.anti_aliasing = False
+    renderer.camera_mode = "look"
+    renderer.viewpoints = [0.0, 0.0, -2.732]
+    got = np.asarray(renderer.render_silhouettes(vertices[None], faces))
+
+    tv = persp(
+        look(jnp.asarray(vertices[None]), jnp.asarray([0.0, 0.0, -2.732])),
+        angle=30.0,
+    )
+    hp = RasterizeHyperparam(image_size=64, anti_aliasing=False)
+    want = np.asarray(rs(tv, jnp.asarray(faces), None, hp))
+    np.testing.assert_array_equal(got, want)
+    assert got.sum() > 0
+
+    # background image passes through on background pixels
+    vt, ft, tex = nr.create_textures(faces.shape[0], texture_size=2)
+    renderer2 = nr.Renderer()
+    renderer2.image_size = 64
+    renderer2.anti_aliasing = False
+    renderer2.viewpoints = nr.get_points_from_angles(2.732, 30, 0)
+    rng = np.random.RandomState(3)
+    bg = rng.rand(1, 3, 64, 64).astype("float32")
+    rgba = np.asarray(
+        renderer2.render(vertices[None], faces, vt[None], ft, tex[None],
+                         backgrounds=jnp.asarray(bg))
+    )
+    sil = rgba[0, 3]
+    mask = sil == 0
+    assert mask.any() and (~mask).any()
+    np.testing.assert_allclose(
+        rgba[0, :3].transpose(1, 2, 0)[mask],
+        bg[0].transpose(1, 2, 0)[mask],
+        atol=1e-6,
+    )
