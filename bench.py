@@ -58,7 +58,10 @@ def main():
         # IoU-style scalar so the full NMR backward runs
         return jnp.sum(images * images) / (jnp.sum(images) + 1.0)
 
-    n_iters = int(os.environ.get("NR_BENCH_ITERS", "50"))
+    # 200-step chains (~150/300 ms on device) keep the N-differencing well
+    # above the tunnel's ~30 ms dispatch noise; scan compiles the body once,
+    # so the longer chain costs no extra compile time
+    n_iters = int(os.environ.get("NR_BENCH_ITERS", "200"))
 
     def make_chain(n):
         # a genuine (tiny-lr) gradient-descent update chains every
