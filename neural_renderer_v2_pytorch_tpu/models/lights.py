@@ -16,15 +16,22 @@ import flax.struct
 import jax.numpy as jnp
 
 
+class Light:
+    """Base class for light sources (reference lights.py:4-8) -- a real
+    class, so reference-style ``isinstance(x, Light)`` checks AND
+    user-defined subclasses of the concrete lights behave exactly as
+    they do with the reference."""
+
+
 @flax.struct.dataclass
-class AmbientLight:
+class AmbientLight(Light):
     """Flat per-batch color added to the color-weight map."""
 
     color: jnp.ndarray  # [bs, 3]
 
 
 @flax.struct.dataclass
-class DirectionalLight:
+class DirectionalLight(Light):
     """Lambertian light: intensity = relu(-direction . normal)
     (or abs(.) when ``backside``)."""
 
@@ -34,13 +41,9 @@ class DirectionalLight:
 
 
 @flax.struct.dataclass
-class SpecularLight:
+class SpecularLight(Light):
     """View-aligned specular: intensity = ((0,0,1) . -normal)^alpha."""
 
     color: jnp.ndarray                 # [bs, 3]
     alpha: Optional[jnp.ndarray] = None  # [bs]; None -> ones
     backside: bool = flax.struct.field(pytree_node=False, default=False)
-
-
-# Base alias for isinstance-style checks / API parity with the reference.
-Light = (AmbientLight, DirectionalLight, SpecularLight)
