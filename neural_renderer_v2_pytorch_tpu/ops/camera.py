@@ -37,6 +37,26 @@ def _as_batched(v, batch_size, name):
     return v
 
 
+def _rotate(vertices, r):
+    """``vertices @ r^T`` as elementwise f32 multiply-adds.
+
+    A [nv, 3] x [3, 3] matmul on the MXU pads K=3 to the systolic width
+    (measured 3.6 ms at 236K vertices under precision=HIGHEST -- the
+    6-pass exact-f32 algorithm on a 40x-padded problem); the expanded
+    form is nine f32 fmas on the VPU (~microseconds) with the same full
+    f32 precision, which golden parity requires (the default bf16 MXU
+    path shifts edge pixels in the resolve: mean abs diff 1.8e-3 vs
+    3.0e-4 against the reference PNGs).
+    """
+    x, y, z = vertices[..., 0], vertices[..., 1], vertices[..., 2]
+    r = r[:, :, None, :]                                      # [bs, 3, 1, 3]
+    out = [
+        x * r[:, i, :, 0] + y * r[:, i, :, 1] + z * r[:, i, :, 2]
+        for i in range(3)
+    ]
+    return jnp.stack(out, axis=-1)
+
+
 def look_at(vertices, viewpoints, at=None, up=None):
     """'Look at' transformation of vertices.
 
@@ -74,13 +94,7 @@ def look_at(vertices, viewpoints, at=None, up=None):
     r = jnp.stack((x_axis, y_axis, z_axis), axis=1)
 
     vertices = vertices - viewpoints[:, None, :]
-    # full f32 matmul: the MXU's default bf16 path shifts edge pixels in
-    # the resolve and costs 40x on golden parity (mean abs diff 1.8e-3 ->
-    # 3.0e-4 vs the reference PNGs); this [nv,3]x[3,3] product is cheap
-    vertices = jnp.matmul(
-        vertices, jnp.swapaxes(r, 1, 2), precision=jax.lax.Precision.HIGHEST
-    )
-    return vertices
+    return _rotate(vertices, r)
 
 
 def look(vertices, viewpoints, direction=None, up=None):
@@ -112,13 +126,7 @@ def look(vertices, viewpoints, direction=None, up=None):
     r = jnp.stack((x_axis, y_axis, z_axis), axis=1)           # [bs, 3, 3]
 
     vertices = vertices - viewpoints[:, None, :]
-    # full f32 matmul: the MXU's default bf16 path shifts edge pixels in
-    # the resolve and costs 40x on golden parity (mean abs diff 1.8e-3 ->
-    # 3.0e-4 vs the reference PNGs); this [nv,3]x[3,3] product is cheap
-    vertices = jnp.matmul(
-        vertices, jnp.swapaxes(r, 1, 2), precision=jax.lax.Precision.HIGHEST
-    )
-    return vertices
+    return _rotate(vertices, r)
 
 
 def perspective(vertices, angle=30.0):

@@ -60,41 +60,28 @@ def _interpret():
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def gather_face_vertices(vertices, face_indices, backend):
-    """``vertices[:, face_indices]`` ([bs, nv, 3] -> [bs, nf, 3, 3]) as a
-    one-hot MXU op in BOTH directions.
+    """``vertices[:, face_indices]`` ([bs, nv, 3] -> [bs, nf, 3, 3]) with
+    a one-hot MXU scatter transpose.
 
     This is the reference's face assembly (rasterize.py:231-232).  On TPU
-    both XLA directions execute serially, row by row (~16 ns/row: at 158K
-    faces the gather costs 7.5 ms and its scatter-add transpose 8.0 ms --
-    37% of the whole training step).  ``backend='pallas'`` replaces them
-    with predicated one-hot matmuls over the nf*3 face-vertex slots:
-    ``gather_rows_pallas`` forward (BIT-exact -- 3-way bf16 split) and
-    ``scatter_to_faces_pallas`` transpose ('faces' are vertices there).
+    XLA's scatter-add transpose executes serially, row by row (8.0 ms at
+    158K faces -- 19% of the whole training step); ``backend='pallas'``
+    replaces it with predicated one-hot matmuls over the nf*3 face-vertex
+    slots (``scatter_to_faces_pallas``; 'faces' are vertices there).
 
-    The one-hot work is proportional to how many 512-vertex chunks each
-    2048-slot strip touches, so this wins on coherently-numbered meshes
-    (any real mesh; loaders emit first-use order) and degrades when
-    vertex ids are strided across the whole range.
+    The FORWARD stays the plain XLA gather in both modes: measured at
+    158K faces / 236K coherently-renumbered vertices, XLA's row gather
+    (5.4 ms) beats the one-hot MXU gather (10.0 ms) -- the gather
+    direction re-reads the whole table chunk per active (strip, chunk)
+    pair, which the scatter's accumulator-resident layout avoids.
+    (``gather_rows_pallas`` remains available for id-local tables where
+    the trade flips.)
     """
-    return _gfv_impl(vertices, face_indices, backend)
-
-
-def _gfv_impl(vertices, face_indices, backend):
-    if backend == "pallas":
-        from .resolve_pallas import gather_rows_pallas
-
-        bs, nf = vertices.shape[0], face_indices.shape[0]
-        flat = jnp.broadcast_to(
-            face_indices.reshape(-1)[None], (bs, nf * 3)
-        )
-        return gather_rows_pallas(
-            vertices, flat, interpret=_interpret()
-        ).reshape(bs, nf, 3, 3)
     return jnp.take(vertices, face_indices, axis=1)
 
 
 def _gfv_fwd(vertices, face_indices, backend):
-    out = _gfv_impl(vertices, face_indices, backend)
+    out = jnp.take(vertices, face_indices, axis=1)
     return out, (face_indices, vertices.shape[1])
 
 
