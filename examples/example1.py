@@ -27,6 +27,10 @@ def parse_arguments():
     parser.add_argument("-b", "--batch", type=int, default=30, help="cameras per call")
     parser.add_argument("-s", "--image_size", type=int, default=256)
     parser.add_argument("--azimuth_step", type=int, default=4)
+    # accepted for run.sh arg-forwarding symmetry with examples 2-5
+    # (a render-only sweep has no optimization steps): caps the number
+    # of rendered views when given
+    parser.add_argument("-n", "--num_views", type=int, default=None)
     return parser.parse_args()
 
 
@@ -45,6 +49,8 @@ def run():
     renderer.image_size = args.image_size
 
     azimuths = np.arange(0, 360, args.azimuth_step, dtype="float32")
+    if args.num_views is not None:
+        azimuths = azimuths[: args.num_views]
     num = 0
     for start in range(0, len(azimuths), args.batch):
         batch_az = azimuths[start : start + args.batch]
