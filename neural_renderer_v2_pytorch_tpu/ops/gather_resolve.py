@@ -61,21 +61,23 @@ def _interpret():
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def gather_face_vertices(vertices, face_indices, backend):
     """``vertices[:, face_indices]`` ([bs, nv, 3] -> [bs, nf, 3, 3]) with
-    a one-hot MXU scatter transpose.
+    a selectable shared-vertex-gradient transpose.
 
-    This is the reference's face assembly (rasterize.py:231-232).  On TPU
-    XLA's scatter-add transpose executes serially, row by row (8.0 ms at
-    158K faces -- 19% of the whole training step); ``backend='pallas'``
-    replaces it with predicated one-hot matmuls over the nf*3 face-vertex
-    slots (``scatter_to_faces_pallas``; 'faces' are vertices there).
+    This is the reference's face assembly (rasterize.py:231-232).  The
+    forward is always XLA's row gather.  ``backend='pallas'`` runs the
+    transpose as predicated one-hot MXU matmuls over the nf*3 slots
+    (``scatter_to_faces_pallas``; 'faces' are vertices there); 'xla' uses
+    the segment-sum.
 
-    The FORWARD stays the plain XLA gather in both modes: measured at
-    158K faces / 236K coherently-renumbered vertices, XLA's row gather
-    (5.4 ms) beats the one-hot MXU gather (10.0 ms) -- the gather
-    direction re-reads the whole table chunk per active (strip, chunk)
-    pair, which the scatter's accumulator-resident layout avoids.
-    (``gather_rows_pallas`` remains available for id-local tables where
-    the trade flips.)
+    Measured guidance (v5e, 158K faces / 236K vertices, first-use-
+    coherent ids): XLA wins BOTH directions here -- fwd gather 5.4 vs
+    10.0 ms, transpose 2.4 vs 5.1 ms -- so the pipeline passes 'xla'.
+    Vertex-id COHERENCE is what makes XLA's sorted scatter fast (the same
+    transpose cost 8.0 ms before the benchmark meshes were renumbered in
+    first-use order); the one-hot kernels win only where the target is
+    small relative to the source (the pixel->face scatter: 2.7 vs
+    4.6 ms) or where XLA's serial scatter degenerates (the 2.3M-texel
+    atlas: 42 ms -> scatter_rows_pallas).
     """
     return jnp.take(vertices, face_indices, axis=1)
 

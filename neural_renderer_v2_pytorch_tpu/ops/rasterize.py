@@ -138,14 +138,17 @@ def compute_channel_maps(
         # (bit-identical) XLA path
         backend = "xla"
 
-    # face gather: [bs, nf, 3, 3]; THE grad path into vertices.  Both
-    # directions (gather fwd, shared-vertex scatter-add transpose) run as
-    # one-hot MXU kernels on TPU -- XLA executes them serially, row by
-    # row (7.5 + 8.0 ms at 158K faces; see gather_face_vertices).
+    # face gather: [bs, nf, 3, 3]; THE grad path into vertices.  Plain
+    # XLA in BOTH directions: on coherently-numbered meshes (any real
+    # loader; benchmarks renumber) XLA's row gather and its sorted
+    # scatter-add transpose beat the one-hot MXU kernels (A/B at 158K
+    # faces: fwd 5.4 vs 10.0 ms, transpose 2.4 vs 5.1 ms) -- unlike the
+    # pixel->face scatter, where the target is tiny relative to the
+    # source and the MXU kernel wins (see gather_face_vertices).
     from .gather_resolve import gather_face_vertices
 
     face_indices = faces.astype(jnp.int32)
-    face_vertices = gather_face_vertices(vertices, face_indices, backend)
+    face_vertices = gather_face_vertices(vertices, face_indices, "xla")
     nf = face_vertices.shape[1]
 
     faces_textures = None
