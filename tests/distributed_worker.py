@@ -47,6 +47,9 @@ def main():
 
     mesh = distributed.global_mesh(data=2)  # tile = n_global // 2
     assert mesh.shape["data"] == 2 and mesh.shape["tile"] == n_global // 2
+    # a second mesh with the face axis spanning processes: the ordered
+    # z-combine's all_gather crosses the process boundary
+    mesh_face = distributed.global_mesh(data=1, tile=n_global // 2, face=2)
 
     vertices = np.array(
         [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
@@ -81,6 +84,20 @@ def main():
     want = np.asarray(rasterize_silhouettes(tv, jnp.asarray(faces), None, hp))
     np.testing.assert_array_equal(got, want)
     assert got.sum() > 0  # the octahedron is visible
+
+    # face-sharded across the process boundary: each process resolves a
+    # face range and the ordered z-combine all_gathers winners over the
+    # (gloo / DCN-like) link
+    tv_f = jax.device_put(tv, NamedSharding(mesh_face, P()))
+    out_f = rasterize_silhouettes_sharded(
+        tv_f, jnp.asarray(faces), None, hp, mesh=mesh_face
+    )
+    got_f = np.asarray(
+        jax.jit(lambda x: x, out_shardings=NamedSharding(mesh_face, P()))(
+            out_f
+        ).addressable_data(0)
+    )
+    np.testing.assert_array_equal(got_f, want)
     print("distributed_worker %d/%d OK" % (process_id, num_processes), flush=True)
 
 
