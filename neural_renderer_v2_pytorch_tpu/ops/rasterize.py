@@ -311,7 +311,22 @@ def finalize_images(images, coordinate_map, foreground, backgrounds, hp: Rasteri
 
 
 def make_backgrounds(params: RasterizeParam, batch_size, render_size):
-    """Materialize the background plane (reference rasterize.py:208-225)."""
+    """Materialize the background plane (reference rasterize.py:208-225).
+
+    DELIBERATE DIVERGENCE -- ``background_color`` renders the actual
+    color here.  BOTH reference twins compute ``zeros * color`` -- i.e.
+    ``background_color`` always yields BLACK regardless of the color
+    passed (torch rasterize.py:208-215: ``backgrounds = zeros(...)``
+    then ``backgrounds * as_tensor(background_color)``; chainer
+    rasterize.py:649-655 identically).  No reference test or golden
+    exercises a non-black background_color (the goldens all use the
+    default None), so the zeros-multiply is an unexercised bug, not a
+    behavior any artifact depends on; the parameter's name and the
+    ``backgrounds``-image path (which does blend real content,
+    chainer rasterize.py:574-577) make the intent unambiguous.  We
+    broadcast the true color.  To reproduce the reference's literal
+    output, pass ``background_color=(0, 0, 0)`` (or leave it None).
+    """
     if params.background_color is not None:
         color = jnp.asarray(params.background_color, dtype=jnp.float32)
         return jnp.broadcast_to(

@@ -876,7 +876,21 @@ def _run_binned(
     return index, depth, coords, attr_map
 
 
-_WINDOWED_VMEM_BUDGET = 64 * 1024 * 1024
+@functools.lru_cache(maxsize=1)
+def _windowed_vmem_budget():
+    """Resident-plane budget for the windowed kernel, derived from the
+    device generation (v5e measured working at 64 MB resident: VMEM is
+    128 MB there; older generations have 16-32 MB, so large images must
+    take the binned kernel instead of failing to compile)."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:  # uninitialized backend: be conservative
+        kind = ""
+    if any(t in kind for t in ("v5 lite", "v5e", "v5p", "v6", "v7")):
+        return 64 * 1024 * 1024
+    if "cpu" in kind or not kind:
+        return 64 * 1024 * 1024  # interpret mode: no VMEM limit applies
+    return 12 * 1024 * 1024  # v2-v4: 16 MB VMEM minus headroom
 
 
 def _pick_mode(mode, image_size, num_rows, latch, num_attrs):
@@ -889,7 +903,7 @@ def _pick_mode(mode, image_size, num_rows, latch, num_attrs):
     if image_size % 128 or num_rows % 8:
         return "binned"
     planes = 2 + ((9 + num_attrs) if latch else 0)
-    if planes * num_rows * image_size * 4 > _WINDOWED_VMEM_BUDGET:
+    if planes * num_rows * image_size * 4 > _windowed_vmem_budget():
         return "binned"
     return "windowed"
 
@@ -1112,6 +1126,13 @@ def scatter_to_faces_pallas(
         and face_chunk < num_faces
     ):
         face_chunk *= 2
+    # re-check the one-hot budget after the SMEM growth (shrinking the
+    # strip keeps [face_chunk, strip] bf16 within the scoped-VMEM allowance
+    # at extreme pixel x face counts)
+    while face_chunk * strip * 2 > ONE_HOT_BUDGET and strip > 512:
+        strip //= 2
+        pad_p = (-P) % strip
+        n_strips = (P + pad_p) // strip
     pad = (-num_faces) % face_chunk
     nf_p = num_faces + pad
     n_chunks = nf_p // face_chunk
@@ -1415,6 +1436,13 @@ def gather_rows_pallas(table, ids, strip=2048, chunk=512, interpret=False):
         n_strips * (-(-(-(-n // chunk)) // 32)) * 4 > 512 * 1024 and chunk < n
     ):
         chunk *= 2
+    # re-check the one-hot budget after the SMEM growth (see
+    # scatter_to_faces_pallas)
+    while chunk * strip * 2 > ONE_HOT_BUDGET and strip > 512:
+        strip //= 2
+        pad_p = (-P) % strip
+        ids_p = jnp.pad(ids.reshape(bs, P), ((0, 0), (0, pad_p)))
+        n_strips = (P + pad_p) // strip
     pad_n = (-n) % chunk
     n_p = n + pad_n
     n_chunks = n_p // chunk

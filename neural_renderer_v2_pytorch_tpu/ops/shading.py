@@ -111,6 +111,14 @@ def _atlas_taps(flat, idx00, tw, kernel_bwd):
     id) followed by three shifted adds that fold the quad channels onto
     their true texels.  Anchors are clamped so all four taps stay
     in-bounds -- the uv-bbox-minus-eps clamp keeps real UVs there anyway.
+
+    PRECONDITION: texel coords (hence ``vertices_textures``) must lie in
+    [0, tw-1] x [0, th-1].  The quad anchor is clamped as a UNIT (all
+    four taps shift together), unlike the reference's per-tap index clip
+    (rasterize.py:139-144), so for UVs outside the atlas the two paths
+    diverge; in-bounds UVs (anything a loader or ``create_textures``
+    produces) are unaffected because the uv-bbox-minus-eps clamp already
+    keeps x in [x0, x1-eps] within the atlas.
     """
     return _atlas_taps_impl(flat, idx00, tw)
 

@@ -75,6 +75,9 @@ def compute_face_index_map_face_sharded(
     resolve kernel when ``backend == 'pallas'``) and the winners combine
     with :func:`ordered_z_combine`.  Returns the combined (replicated)
     [bs, num_rows, W] int32 map with GLOBAL face ids.
+
+    ``face_chunk`` tunes the XLA backend's scan chunk only; the Pallas
+    kernel sizes its own (SMEM-streamed) chunks internally.
     """
     n = jax.lax.axis_size(axis)
     idx = jax.lax.axis_index(axis)

@@ -46,12 +46,38 @@ def make_mesh(data=1, tile=None, face=1, devices=None):
     return Mesh(devs, axis_names=("data", "tile", "face"))
 
 
-def auto_mesh(n_devices=None):
+# Measured v5e crossover: beyond ~10K faces/device the resolve's face
+# loop dominates the pixel-bound stages (scaling table in README --
+# ~0.18 us/face/step vs ~3 ms of pixel work at 512^2), so face sharding
+# pays; below it the tile axis (which also divides the pixel-bound
+# stages and the NMR backward) wins.
+FACE_AXIS_CROSSOVER = 10_000
+
+
+def auto_mesh(n_devices=None, num_faces=None):
     """Heuristic mesh: prefer tile-parallelism (helps even at batch 1);
-    add a modest data axis only once there are >= 8 devices."""
+    add a modest data axis only once there are >= 8 devices; and when the
+    face count is known, give the ``face`` axis (parallel/faces.py) every
+    doubling that still leaves each shard above the measured ~10K-face
+    crossover -- at north-star face counts the resolve's face loop is the
+    dominant cost and must be divided across chips.
+
+    Args:
+      num_faces: faces in the scene, if known.  Without it the mesh has
+        no face axis (the conservative choice for small meshes).
+    """
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
     data = 2 if n >= 8 and n % 2 == 0 else 1
-    return make_mesh(data=data, tile=n // data, devices=devices)
+    rem = n // data
+    face = 1
+    if num_faces is not None:
+        while (
+            face * 2 <= rem
+            and rem % (face * 2) == 0
+            and num_faces // (face * 2) >= FACE_AXIS_CROSSOVER
+        ):
+            face *= 2
+    return make_mesh(data=data, tile=rem // face, face=face, devices=devices)

@@ -259,6 +259,27 @@ def test_auto_mesh_heuristic():
     assert dict(m1.shape) == {"data": 1, "tile": 1}
 
 
+def test_auto_mesh_face_axis():
+    """With the face count known, auto_mesh allocates the face axis (the
+    dominant-cost divider at north-star face counts) down to the measured
+    ~10K-faces-per-shard crossover, and not past it."""
+    from neural_renderer_v2_pytorch_tpu.parallel.mesh import auto_mesh
+
+    # 160K faces, 8 devices: data=2, remaining 4 all go to face
+    # (160K / 4 = 40K faces/shard, still >= the 10K crossover)
+    m = auto_mesh(8, num_faces=160_000)
+    assert dict(m.shape) == {"data": 2, "tile": 1, "face": 4}
+    # 25K faces: one doubling only (25K/2 >= 10K but 25K/4 < 10K)
+    m = auto_mesh(8, num_faces=25_000)
+    assert dict(m.shape) == {"data": 2, "tile": 2, "face": 2}
+    # small meshes: no face axis -- tile keeps the devices
+    m = auto_mesh(8, num_faces=2_500)
+    assert dict(m.shape) == {"data": 2, "tile": 4}
+    # 4 devices, large mesh: no data axis, face takes what divides
+    m = auto_mesh(4, num_faces=160_000)
+    assert dict(m.shape) == {"data": 1, "tile": 1, "face": 4}
+
+
 def test_resolve_and_gather_latch_z_paths():
     """latch_z=False (the silhouette path) must produce the same planes
     on both backends -- XY planes latched, z planes exactly zero -- and
