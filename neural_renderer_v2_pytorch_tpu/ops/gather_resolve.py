@@ -58,47 +58,155 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def gather_face_vertices(vertices, face_indices, backend):
-    """``vertices[:, face_indices]`` ([bs, nv, 3] -> [bs, nf, 3, 3]) with
-    a selectable shared-vertex-gradient transpose.
+# the slot ops' tuned geometry (v5e, 158K faces / 236K vertices,
+# same-session A/Bs): gradient scatter 4096-slot strips x 256-vertex
+# chunks -- 1.7 ms vs 6.6 ms for XLA's segment-sum; forward gather
+# 8192 x 512 -- 4.1 ms (dynamic prep) vs 5.0 ms for XLA's row gather.
+# Smaller strips lose to per-program overhead, larger to one-hot width.
+_SLOT_STRIP = 4096
+_SLOT_CHUNK = 256
+_GATHER_STRIP = 8192
+_GATHER_CHUNK = 512
 
-    This is the reference's face assembly (rasterize.py:231-232).  The
-    forward is always XLA's row gather.  ``backend='pallas'`` runs the
-    transpose as predicated one-hot MXU matmuls over the nf*3 slots
-    (``scatter_to_faces_pallas``; 'faces' are vertices there); 'xla' uses
-    the segment-sum.
 
-    Measured guidance (v5e, 158K faces / 236K vertices, first-use-
-    coherent ids): XLA wins BOTH directions here -- fwd gather 5.4 vs
-    10.0 ms, transpose 2.4 vs 5.1 ms -- so the pipeline passes 'xla'.
-    Vertex-id COHERENCE is what makes XLA's sorted scatter fast (the same
-    transpose cost 8.0 ms before the benchmark meshes were renumbered in
-    first-use order); the one-hot kernels win only where the target is
-    small relative to the source (the pixel->face scatter: 2.7 vs
-    4.6 ms) or where XLA's serial scatter degenerates (the 2.3M-texel
-    atlas: 42 ms -> scatter_rows_pallas).
-    """
+# v5e cost-model constants for the one-hot-vs-XLA crossover, fitted to
+# same-session A/Bs at 473K slots / 236K vertices: XLA's serial row ops
+# run ~10-14 ns/row; the one-hot kernels cost ~2 VPU lane-ops per
+# compare (build + cast) plus ~3 us of per-strip program overhead.
+_XLA_SCATTER_NS = 14.0
+_XLA_GATHER_NS = 10.6
+_LANEOPS_PER_S = 0.96e12
+_STRIP_OVERHEAD_S = 3e-6
+
+
+def _onehot_wins(cnt, K, T, n_strips, xla_ns, n_slots):
+    compares = float(cnt.sum()) * K * T
+    t_onehot = compares * 2 / _LANEOPS_PER_S + n_strips * _STRIP_OVERHEAD_S
+    return t_onehot < n_slots * xla_ns * 1e-9
+
+
+@functools.lru_cache(maxsize=16)
+def _slot_occupancy_cached(faces_bytes, nf, nv):
+    """Host-side active-chunk lists for the face->vertex slot scatter
+    AND forward gather (mesh connectivity is static in every real
+    workload, so this runs numpy once per mesh and the lists become free
+    trace constants).  Either direction is None when the exact host
+    occupancy says its one-hot kernel would LOSE to the XLA row op
+    (id spread grows with mesh size; at ~631K faces the gather crosses
+    back to XLA)."""
+    from .resolve_pallas import (
+        slot_gather_occupancy,
+        slot_scatter_occupancy,
+    )
+
+    slots = np.frombuffer(faces_bytes, np.int32)
+    assert slots.size == nf * 3
+    # keep NUMPY (jnp constants created inside a trace would leak as
+    # tracers through this cache); consumers treat them as trace constants
+    scatter = slot_scatter_occupancy(
+        slots, nv, strip=_SLOT_STRIP, face_chunk=_SLOT_CHUNK
+    )
+    if not _onehot_wins(
+        scatter[0], _SLOT_CHUNK, _SLOT_STRIP, scatter[0].shape[-1],
+        _XLA_SCATTER_NS, slots.size,
+    ):
+        scatter = None
+    gather = slot_gather_occupancy(
+        slots, nv, strip=_GATHER_STRIP, chunk=_GATHER_CHUNK
+    )
+    if not _onehot_wins(
+        gather[0], _GATHER_CHUNK, _GATHER_STRIP, gather[0].shape[-1],
+        _XLA_GATHER_NS, slots.size,
+    ):
+        gather = None
+    return scatter, gather
+
+
+def slot_occupancy(faces, num_vertices):
+    """(scatter_lists, gather_lists) for :func:`gather_face_vertices` --
+    each a (cnt, active) pair or None where XLA wins -- or None overall
+    when ``faces`` is traced (non-constant)."""
+    if isinstance(faces, jax.core.Tracer):
+        return None
+    f = np.asarray(faces, np.int32)
+    occ = _slot_occupancy_cached(f.tobytes(), f.shape[0], num_vertices)
+    if occ == (None, None):
+        return None
+    return occ
+
+
+def _gfv_primal(vertices, face_indices, backend, occupancy):
+    gather_occ = None if occupancy is None else occupancy[1]
+    if backend == "pallas" and gather_occ is not None:
+        from .resolve_pallas import gather_rows_pallas
+
+        bs, nv = vertices.shape[:2]
+        nf = face_indices.shape[0]
+        slots = nf * 3
+        ids = jnp.broadcast_to(
+            face_indices.reshape(-1)[None], (bs, slots)
+        )
+        occ = tuple(
+            jnp.broadcast_to(o, (bs,) + o.shape[1:]) for o in gather_occ
+        )
+        out = gather_rows_pallas(
+            vertices, ids, strip=_GATHER_STRIP, chunk=_GATHER_CHUNK,
+            occupancy=occ, interpret=_interpret(),
+        )  # bit-exact == jnp.take (3-way bf16 split)
+        return out.reshape(bs, nf, 3, 3)
     return jnp.take(vertices, face_indices, axis=1)
 
 
-def _gfv_fwd(vertices, face_indices, backend):
-    out = jnp.take(vertices, face_indices, axis=1)
-    return out, (face_indices, vertices.shape[1])
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_face_vertices(vertices, face_indices, backend, occupancy=None):
+    """``vertices[:, face_indices]`` ([bs, nv, 3] -> [bs, nf, 3, 3]) with
+    selectable forward-gather and shared-vertex-gradient-transpose
+    backends.
+
+    This is the reference's face assembly (rasterize.py:231-232).
+    ``backend='pallas'`` with host-precomputed ``occupancy``
+    (:func:`slot_occupancy` -- free, the mesh is static in every real
+    workload) runs BOTH directions as one-hot MXU matmuls over the nf*3
+    slots, looping each slot strip's compact active-vertex-chunk list:
+    the forward through the BIT-exact ``gather_rows_pallas`` (3-way bf16
+    split; measures 4.1 vs 5.0 ms for XLA's serial row gather at 158K
+    faces / 236K coherent vertices), the transpose through
+    ``scatter_to_faces_pallas`` (1.7 vs 6.6 ms for XLA's segment-sum).
+    Without occupancy (traced faces) both directions fall back to XLA.
+    """
+    return _gfv_primal(vertices, face_indices, backend, occupancy)
+
+
+def _gfv_fwd(vertices, face_indices, backend, occupancy=None):
+    out = _gfv_primal(vertices, face_indices, backend, occupancy)
+    return out, (face_indices, vertices.shape[1], occupancy)
 
 
 def _gfv_bwd(backend, residuals, g):
-    face_indices, num_vertices = residuals
+    face_indices, num_vertices, occupancy = residuals
     bs, nf = g.shape[:2]
     slots = nf * 3
     flat_idx = face_indices.reshape(-1)
-    if backend == "pallas":
+    scatter_occ = None if occupancy is None else occupancy[0]
+    # with occupancy present, the per-direction None means the host cost
+    # model picked XLA for that direction
+    use_kernel = backend == "pallas" and (
+        occupancy is None or scatter_occ is not None
+    )
+    if use_kernel:
         from .resolve_pallas import scatter_to_faces_pallas
 
-        slot_map = jnp.broadcast_to(flat_idx[None, None], (bs, 1, slots))
+        slot_map = jnp.broadcast_to(flat_idx[None], (bs, slots))
+        occ = scatter_occ
+        if occ is not None:
+            # the slot map is batch-invariant; broadcast the host lists
+            occ = tuple(
+                jnp.broadcast_to(o, (bs,) + o.shape[1:]) for o in occ
+            )
         g_vertices = scatter_to_faces_pallas(
             g.reshape(bs, 1, slots, 3), slot_map, num_vertices,
-            face_chunk=512, interpret=_interpret(),
+            strip=_SLOT_STRIP, face_chunk=_SLOT_CHUNK, patch=None,
+            occupancy=occ, interpret=_interpret(),
         )
     else:
         def per_batch(gb):
@@ -108,7 +216,15 @@ def _gfv_bwd(backend, residuals, g):
 
         g_vertices = jax.vmap(per_batch)(g)
     g_idx = np.zeros(face_indices.shape, jax.dtypes.float0)
-    return g_vertices, g_idx
+    g_occ = (
+        None if occupancy is None
+        else tuple(
+            None if pair is None
+            else tuple(np.zeros(o.shape, jax.dtypes.float0) for o in pair)
+            for pair in occupancy
+        )
+    )
+    return g_vertices, g_idx, g_occ
 
 
 gather_face_vertices.defvjp(_gfv_fwd, _gfv_bwd)

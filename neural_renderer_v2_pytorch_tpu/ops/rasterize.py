@@ -28,6 +28,7 @@ from typing import Any, Optional, Tuple
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import shading
 from .differentiation import differentiation
@@ -88,6 +89,11 @@ class RasterizeParam:
     )
     backgrounds: Optional[jnp.ndarray] = None        # [bs, 3, H, W]
     lights: Optional[Tuple[Any, ...]] = None         # tuple of Light pytrees
+    # Host-precomputed (cnt, active) chunk lists for the face->vertex
+    # gradient slot scatter (gather_resolve.slot_occupancy); filled in
+    # automatically by the public entry points when the face array is a
+    # compile-time constant.  None -> XLA segment-sum transpose.
+    slot_occupancy: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
 
 
 def _resolve_backend(backend):
@@ -133,22 +139,25 @@ def compute_channel_maps(
     bs = vertices.shape[0]
 
     backend = _resolve_backend(hp.backend)
-    if backend == "pallas" and (render_size % 8 or num_rows % 8):
-        # the Pallas kernel needs 8-row-aligned tiles; odd sizes take the
-        # (bit-identical) XLA path
-        backend = "xla"
+    # (no odd-size fallback: the Pallas resolve pads its canvas to 8-row /
+    # 128-lane alignment internally and crops, so every size takes it)
 
-    # face gather: [bs, nf, 3, 3]; THE grad path into vertices.  Plain
-    # XLA in BOTH directions: on coherently-numbered meshes (any real
-    # loader; benchmarks renumber) XLA's row gather and its sorted
-    # scatter-add transpose beat the one-hot MXU kernels (A/B at 158K
-    # faces: fwd 5.4 vs 10.0 ms, transpose 2.4 vs 5.1 ms) -- unlike the
-    # pixel->face scatter, where the target is tiny relative to the
-    # source and the MXU kernel wins (see gather_face_vertices).
+    # face gather: [bs, nf, 3, 3]; THE grad path into vertices.  Forward
+    # is always XLA's row gather (wins on coherent ids); the shared-
+    # vertex gradient TRANSPOSE runs as the one-hot MXU slot scatter
+    # whenever the mesh connectivity is a compile-time constant (every
+    # real workload) -- its per-strip active-chunk lists then cost
+    # nothing to build and the kernel measures 1.7 ms vs 6.6 ms for
+    # XLA's segment-sum at 158K faces (see gather_face_vertices).
     from .gather_resolve import gather_face_vertices
 
     face_indices = faces.astype(jnp.int32)
-    face_vertices = gather_face_vertices(vertices, face_indices, "xla")
+    occ = params.slot_occupancy
+    if occ is not None and backend != "pallas":
+        occ = None
+    face_vertices = gather_face_vertices(
+        vertices, face_indices, "pallas" if occ is not None else "xla", occ
+    )
     nf = face_vertices.shape[1]
 
     faces_textures = None
@@ -385,10 +394,23 @@ def _jitted_core(hyperparams: RasterizeHyperparam):
 
 
 def _run(vertices, faces, params, hyperparams):
-    vertices = jnp.asarray(vertices, dtype=jnp.float32)
-    faces = jnp.asarray(faces)
     if params is None:
         params = RasterizeParam()
+    # Host-side slot-occupancy lists for the vertex-gradient transpose:
+    # possible exactly when ``faces`` is still concrete here (a numpy
+    # array or a non-traced device array -- true in every real workload,
+    # where mesh connectivity is constant), including when _run executes
+    # inside a USER jit trace with closure-captured faces.
+    if params.slot_occupancy is None and _resolve_backend(
+        hyperparams.backend
+    ) == "pallas":
+        from .gather_resolve import slot_occupancy
+
+        occ = slot_occupancy(faces, np.shape(vertices)[1])
+        if occ is not None:
+            params = params.replace(slot_occupancy=occ)
+    vertices = jnp.asarray(vertices, dtype=jnp.float32)
+    faces = jnp.asarray(faces)
     return _jitted_core(hyperparams)(vertices, faces, params)
 
 

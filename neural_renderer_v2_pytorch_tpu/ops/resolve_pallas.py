@@ -141,6 +141,7 @@ def _windowed_kernel(
     attr_out_ref,    # [1, A, H, W] f32 (only when num_attrs > 0)
     *,
     image_size,
+    plane_width,
     near,
     far,
     face_chunk,
@@ -157,6 +158,11 @@ def _windowed_kernel(
     every face touches only the (row_window x col_window) slabs covering
     its bbox.
 
+    ``plane_width`` is the lane-aligned CANVAS width (>= image_size,
+    128-divisible); ``image_size`` keeps defining the NDC pixel-centre
+    mapping, so padded columns/rows simply hold background that the
+    driver crops off -- every size takes this kernel.
+
     Where ``_binned_kernel`` gets its x-selectivity from a host binning
     prepass (argsort compaction + per-tile constant gathers -- ~17% of
     the step at 158K faces), this kernel gets it from 128-aligned dynamic
@@ -169,18 +175,19 @@ def _windowed_kernel(
     """
     c = pl.program_id(1)
     rw, cw = row_window, col_window
-    S = float(image_size)  # NDC math; image_size stays the int plane width
+    S = float(image_size)  # NDC scale; plane_width is the canvas width
+    W = plane_width
     row_base = rs_ref[0]
 
     @pl.when(c == 0)
     def _init():
-        depth_ref[...] = jnp.full((1, num_rows, image_size), far, jnp.float32)
-        index_ref[...] = jnp.full((1, num_rows, image_size), -1, jnp.int32)
+        depth_ref[...] = jnp.full((1, num_rows, W), far, jnp.float32)
+        index_ref[...] = jnp.full((1, num_rows, W), -1, jnp.int32)
         if latch:
-            coords_ref[...] = jnp.zeros((1, coords_dim, num_rows, image_size), jnp.float32)
+            coords_ref[...] = jnp.zeros((1, coords_dim, num_rows, W), jnp.float32)
             if num_attrs:
                 attr_out_ref[...] = jnp.zeros(
-                    (1, num_attrs, num_rows, image_size), jnp.float32
+                    (1, num_attrs, num_rows, W), jnp.float32
                 )
 
     n_in_chunk = jnp.clip(nf_ref[0] - c * face_chunk, 0, face_chunk)
@@ -249,7 +256,7 @@ def _windowed_kernel(
 
                     def cwin_body(wc, _):
                         start_c = pl.multiple_of(
-                            jnp.minimum(c0 + wc * cw, image_size - cw), 128
+                            jnp.minimum(c0 + wc * cw, W - cw), 128
                         )
                         cols = pl.ds(start_c, cw)
                         gc = start_c + col_iota
@@ -332,15 +339,22 @@ def _run_windowed(
 ):
     """Driver for the bin-free windowed kernel: reshape faces into chunks
     (no binning, no gathers) -> pallas_call.  Same return contract as
-    :func:`_run_binned`."""
+    :func:`_run_binned`.
+
+    Arbitrary sizes run on a padded canvas (rows to 8, width to 128 --
+    the kernel's NDC mapping still uses ``image_size``) and the outputs
+    are cropped, so no size falls back off this kernel.
+    """
     bs, nf = face_vertices.shape[:2]
     if num_rows is None:
         num_rows = image_size
+    out_rows, out_cols = num_rows, image_size
+    num_rows = -(-num_rows // 8) * 8
+    plane_w = -(-image_size // 128) * 128
     num_attrs = 0 if face_attrs is None else face_attrs.shape[-1]
-    assert num_rows % 8 == 0 and image_size % 128 == 0
     assert row_window % 8 == 0 and col_window % 128 == 0
     row_window = min(row_window, num_rows)
-    col_window = min(col_window, image_size)
+    col_window = min(col_window, plane_w)
 
     consts = face_constants(face_vertices)  # [bs, nf, 17]
     pad = (-nf) % face_chunk
@@ -380,41 +394,42 @@ def _run_windowed(
 
     whole = lambda b, c: (b, 0, 0)
     out_specs = [
-        pl.BlockSpec((1, num_rows, image_size), whole),
-        pl.BlockSpec((1, num_rows, image_size), whole),
+        pl.BlockSpec((1, num_rows, plane_w), whole),
+        pl.BlockSpec((1, num_rows, plane_w), whole),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((bs, num_rows, image_size), jnp.int32),
-        jax.ShapeDtypeStruct((bs, num_rows, image_size), jnp.float32),
+        jax.ShapeDtypeStruct((bs, num_rows, plane_w), jnp.int32),
+        jax.ShapeDtypeStruct((bs, num_rows, plane_w), jnp.float32),
     ]
     if latch:
         out_specs.append(
             pl.BlockSpec(
-                (1, coords_dim, num_rows, image_size),
+                (1, coords_dim, num_rows, plane_w),
                 lambda b, c: (b, 0, 0, 0),
             )
         )
         out_shape.append(
             jax.ShapeDtypeStruct(
-                (bs, coords_dim, num_rows, image_size), jnp.float32
+                (bs, coords_dim, num_rows, plane_w), jnp.float32
             )
         )
         if num_attrs:
             out_specs.append(
                 pl.BlockSpec(
-                    (1, num_attrs, num_rows, image_size),
+                    (1, num_attrs, num_rows, plane_w),
                     lambda b, c: (b, 0, 0, 0),
                 )
             )
             out_shape.append(
                 jax.ShapeDtypeStruct(
-                    (bs, num_attrs, num_rows, image_size), jnp.float32
+                    (bs, num_attrs, num_rows, plane_w), jnp.float32
                 )
             )
 
     kernel = functools.partial(
         _windowed_kernel,
         image_size=image_size,
+        plane_width=plane_w,
         near=float(near),
         far=float(far),
         face_chunk=face_chunk,
@@ -450,9 +465,13 @@ def _run_windowed(
         out_shape=out_shape,
         interpret=interpret,
     )(*inputs)
-    index, depth = outs[0], outs[1]
-    coords = outs[2] if latch else None
-    attr_map = outs[3] if (latch and num_attrs) else None
+
+    def crop(x):  # padded canvas -> requested window
+        return x[..., :out_rows, :out_cols]
+
+    index, depth = crop(outs[0]), crop(outs[1])
+    coords = crop(outs[2]) if latch else None
+    attr_map = crop(outs[3]) if (latch and num_attrs) else None
     return index, depth, coords, attr_map
 
 
@@ -710,14 +729,19 @@ def _run_binned(
     bs, nf = face_vertices.shape[:2]
     if num_rows is None:
         num_rows = image_size
+    # padded canvas (rows to 8, width to 128; NDC mapping keeps
+    # image_size) so every size takes the kernel -- outputs are cropped
+    out_rows, out_cols = num_rows, image_size
+    num_rows = -(-num_rows // 8) * 8
+    plane_w = -(-image_size // 128) * 128
     num_attrs = 0 if face_attrs is None else face_attrs.shape[-1]
     if tile is None:
         # pick the tallest tile whose resident planes (index + depth +
         # latched coords/attrs) fit VMEM with buffering headroom.  The
-        # width must be lane-aligned (128-divisible) or the full image;
-        # the height any 8-multiple divisor of the row window.
+        # width must be lane-aligned (128-divisible); the height any
+        # 8-multiple divisor of the padded row count.
         planes = 2 + ((9 + num_attrs) if latch else 0)
-        tw = 128 if image_size % 128 == 0 else image_size
+        tw = 128
         budget = 10 * 1024 * 1024
         th = None
         for cand in range(min(512, num_rows), 7, -8):
@@ -729,10 +753,10 @@ def _run_binned(
         tile = (th, tw)
     tile_h, tile_w = tile
     row_window = min(row_window, tile_h)
-    assert num_rows % tile_h == 0 and image_size % tile_w == 0
+    assert num_rows % tile_h == 0 and plane_w % tile_w == 0
     assert tile_h % 8 == 0 and row_window % 8 == 0
     n_tile_y = num_rows // tile_h
-    n_tile_x = image_size // tile_w
+    n_tile_x = plane_w // tile_w
     n_tiles = n_tile_y * n_tile_x
 
     consts = face_constants(face_vertices)
@@ -803,8 +827,8 @@ def _run_binned(
         pl.BlockSpec((1, tile_h, tile_w), tile_idx),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((bs, num_rows, image_size), jnp.int32),
-        jax.ShapeDtypeStruct((bs, num_rows, image_size), jnp.float32),
+        jax.ShapeDtypeStruct((bs, num_rows, plane_w), jnp.int32),
+        jax.ShapeDtypeStruct((bs, num_rows, plane_w), jnp.float32),
     ]
     if latch:
         out_specs.append(
@@ -815,7 +839,7 @@ def _run_binned(
         )
         out_shape.append(
             jax.ShapeDtypeStruct(
-                (bs, coords_dim, num_rows, image_size), jnp.float32
+                (bs, coords_dim, num_rows, plane_w), jnp.float32
             )
         )
         if num_attrs:
@@ -827,7 +851,7 @@ def _run_binned(
             )
             out_shape.append(
                 jax.ShapeDtypeStruct(
-                    (bs, num_attrs, num_rows, image_size), jnp.float32
+                    (bs, num_attrs, num_rows, plane_w), jnp.float32
                 )
             )
 
@@ -870,9 +894,13 @@ def _run_binned(
         out_shape=out_shape,
         interpret=interpret,
     )(*inputs)
-    index, depth = outs[0], outs[1]
-    coords = outs[2] if latch else None
-    attr_map = outs[3] if (latch and num_attrs) else None
+
+    def crop(x):  # padded canvas -> requested window
+        return x[..., :out_rows, :out_cols]
+
+    index, depth = crop(outs[0]), crop(outs[1])
+    coords = crop(outs[2]) if latch else None
+    attr_map = crop(outs[3]) if (latch and num_attrs) else None
     return index, depth, coords, attr_map
 
 
@@ -894,16 +922,18 @@ def _windowed_vmem_budget():
 
 
 def _pick_mode(mode, image_size, num_rows, latch, num_attrs):
-    """'windowed' (bin-free, whole band resident) whenever the layout
-    allows and the resident planes fit VMEM; 'binned' otherwise."""
+    """'windowed' (bin-free, whole band resident) whenever the resident
+    planes fit VMEM; 'binned' otherwise.  Both kernels pad the canvas to
+    (8-row, 128-lane) alignment internally, so layout never forces a
+    mode -- sizing uses the padded plane dims."""
     if mode != "auto":
         return mode
     if num_rows is None:
         num_rows = image_size
-    if image_size % 128 or num_rows % 8:
-        return "binned"
+    rows_p = -(-num_rows // 8) * 8
+    plane_w = -(-image_size // 128) * 128
     planes = 2 + ((9 + num_attrs) if latch else 0)
-    if planes * num_rows * image_size * 4 > _windowed_vmem_budget():
+    if planes * rows_p * plane_w * 4 > _windowed_vmem_budget():
         return "binned"
     return "windowed"
 
@@ -958,10 +988,11 @@ def resolve_gather_pallas(
     coords_dim = 9 if latch_z else 6
     if group_size is None:
         # tuned on v5e at 512^2: tiny faces (large meshes) amortize the
-        # per-group scalar bookkeeping over 4 faces when the latch is
-        # light (xy-only: 13.1 ms vs 17.1 at G=2 for 158K faces); heavy
-        # latches and big faces prefer G=2 (union-window growth wins)
-        group_size = 4 if (not latch_z and face_vertices.shape[1] >= 16384) else 2
+        # per-group scalar bookkeeping over 8 faces when the latch is
+        # light (xy-only at 158K faces: G=8 11.4 ms, G=4 13.0, G=2 17.5;
+        # G=16 12.1 -- union-window growth wins past 8); heavy latches
+        # and big faces prefer G=2
+        group_size = 8 if (not latch_z and face_vertices.shape[1] >= 16384) else 2
     if tile is not None and mode == "auto":
         mode = "binned"  # an explicit tile pins the binned kernel
     if _pick_mode(mode, image_size, num_rows, True, num_attrs) == "windowed":
@@ -981,6 +1012,22 @@ def resolve_gather_pallas(
     return index, coords, attr_planes
 
 
+def _bitpack_mask_np(occ):
+    """Numpy twin of :func:`_bitpack_mask` for host-side occupancy."""
+    import numpy as _np
+
+    occ = _np.asarray(occ)
+    n = occ.shape[-1]
+    n_words = -(-n // 32)
+    occ = _np.concatenate(
+        [occ, _np.zeros(occ.shape[:-1] + (n_words * 32 - n,), bool)], axis=-1
+    )
+    return (
+        occ.reshape(*occ.shape[:-1], n_words, 32).astype(_np.int64)
+        << _np.arange(32, dtype=_np.int64)
+    ).sum(axis=-1).astype(_np.uint32).view(_np.int32).astype(_np.int32)
+
+
 def _bitpack_mask(occ):
     """Pack a bool occupancy array [..., n] into int32 words of 32 bits
     (little-endian within the word) for SMEM: flat int32 masks blow the
@@ -997,7 +1044,12 @@ def _bitpack_mask(occ):
 
 
 def _scatter_kernel(
-    mask_ref,    # [1, n_strips, n_words] int32 in SMEM: BITPACKED occupancy
+    cnt_ref,     # [1, n_strips] int32 in SMEM: active chunks per strip
+    list_ref,    # [1, n_strips, n_chunks] int32 in SMEM: active chunk ids,
+                 # ascending, compacted to the front (whole array resident;
+                 # the constant block index means Mosaic never re-streams
+                 # it).  When ``use_list`` is False this is instead the
+                 # BITPACKED occupancy mask [1, n_strips, n_words].
     fim_ref,     # [1, 1, 1, T] int32: face-index map strip (global face ids)
     grad_ref,    # [1, 1, D, T] f32: per-pixel gradients strip, coord-planar
     out_ref,     # [1, D, nf_p] f32: THE WHOLE per-face gradient accumulator
@@ -1006,6 +1058,7 @@ def _scatter_kernel(
     face_chunk,  # K
     n_chunks,
     num_attrs,   # D
+    use_list,
 ):
     """Pixel->face gradient scatter as MXU one-hot matmuls.
 
@@ -1025,10 +1078,16 @@ def _scatter_kernel(
         XLA requests a tiled result layout (80 MB of VMEM at 157K faces,
         a compile-time OOM observed inside fused backward programs).
         Chunk stores land at 128-aligned lane offsets.
-      * Within a strip, a ``fori_loop`` over face chunks is predicated by
-        an exact occupancy table (does this strip contain any winner from
-        chunk c?); mesh face ids are spatially coherent, so a strip
-        typically touches only 2-4 of the chunks.
+      * Within a strip, a ``fori_loop`` runs over the strip's COMPACT
+        active-chunk list (the exact, ascending set of chunks holding any
+        of its winners, built by one XLA argsort): mesh face ids are
+        spatially coherent, so a strip typically touches only 2-4 chunks
+        and the loop executes exactly that many iterations.  (A
+        bit-mask-predicated loop over ALL chunks -- the previous design --
+        spends ~30 scalar cycles per INACTIVE chunk; at 158K faces that
+        is 617 iterations per strip of which ~3 do work, and the scalar
+        loop, not the one-hot math, dominated the kernel at ~8% of its
+        roof.)
       * The one-hot is built [K, T] (ids down sublanes, pixels along
         lanes) so the fim strip loads as a [1, T] lane-major row, and the
         gradients load coord-planar [D, T] -- neither needs a transpose or
@@ -1049,60 +1108,64 @@ def _scatter_kernel(
     g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     fim = fim_ref[0, 0]                      # [1, T] int32
 
-    def chunk_body(c, _):
-        bit = (mask_ref[0, t, c // 32] >> (c % 32)) & 1
+    def accumulate(c):
+        ids = c * face_chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (face_chunk, 1), 0
+        )
+        one_hot = (fim == ids).astype(jnp.bfloat16)   # [K, T]
 
-        @pl.when(bit != 0)
-        def _accumulate():
-            ids = c * face_chunk + jax.lax.broadcasted_iota(
-                jnp.int32, (face_chunk, 1), 0
+        def dot_t(a, b):  # [D, T] x [K, T] -> [D, K], contract lanes
+            return jax.lax.dot_general(
+                a, b,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            one_hot = (fim == ids).astype(jnp.bfloat16)   # [K, T]
 
-            def dot_t(a, b):  # [D, T] x [K, T] -> [D, K], contract lanes
-                return jax.lax.dot_general(
-                    a, b,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+        acc = dot_t(g_hi, one_hot) + dot_t(g_lo, one_hot)
+        col = pl.multiple_of(c * face_chunk, 128)
+        out_ref[0, :, pl.ds(col, face_chunk)] += acc
 
-            acc = dot_t(g_hi, one_hot) + dot_t(g_lo, one_hot)
-            col = pl.multiple_of(c * face_chunk, 128)
-            out_ref[0, :, pl.ds(col, face_chunk)] += acc
-        return 0
+    if use_list:
+        def chunk_body(i, _):
+            accumulate(list_ref[0, t, i])
+            return 0
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_faces", "strip", "face_chunk", "interpret", "planar"),
-)
-def scatter_to_faces_pallas(
-    grad_map,
-    face_index_map,
-    num_faces,
-    strip=8192,
-    face_chunk=256,
-    interpret=False,
-    planar=False,
-):
-    """Pixel grads -> [bs, num_faces, D] per-face grads.  ``grad_map`` is
-    [bs, H, W, D], or [bs, D, H, W] when ``planar`` (the pipeline's
-    layout -- cheaper: the strip reshape stays plane-major).
-
-    Pallas TPU replacement for the XLA segment-sum in
-    ``gather_resolve._scatter_to_faces`` (the backward of the fused
-    resolve+gather): the segment sum becomes predicated one-hot matmuls on
-    the MXU with the whole per-face accumulator VMEM-resident (see
-    ``_scatter_kernel``).  Defaults tuned on v5e at 512^2 x 158K faces
-    (2.13 ms; the old 4096/64 defaults cost 2.66 ms).
-    """
-    if planar:
-        bs, D, H, W = grad_map.shape
+        jax.lax.fori_loop(0, cnt_ref[0, t], chunk_body, 0)
     else:
-        bs, H, W, D = grad_map.shape
-    P = H * W
+        # bitpacked word-skip loop (exact lists too big for SMEM)
+        n_words = -(-n_chunks // 32)
+
+        def word_body(w, _):
+            word = list_ref[0, t, w]
+
+            @pl.when(word != 0)
+            def _word_active():
+                def bit_body(b, _):
+                    @pl.when(((word >> b) & 1) != 0)
+                    def _acc():
+                        accumulate(w * 32 + b)
+                    return 0
+
+                jax.lax.fori_loop(0, 32, bit_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_words, word_body, 0)
+
+
+# SMEM is ~1 MB on current TPUs (a 1.7 MB list was rejected by the
+# compiler with "Allocation would exceed memory (size=1048576)"); keep
+# half for the occupancy structures
+_SMEM_BUDGET = 512 * 1024
+
+
+def _scatter_geometry(P, num_faces, strip, face_chunk):
+    """Shared size tuning for the one-hot scatter: returns
+    (strip, face_chunk, pad_p, n_strips, pad, nf_p, n_chunks, use_list).
+    Pure python on static ints -- :func:`slot_scatter_occupancy` replays
+    it on the host so precomputed occupancy lists match the kernel
+    geometry.  ``use_list`` False means the exact per-strip chunk lists
+    cannot fit SMEM at this scale and the kernel runs the BITPACKED
+    word-skip loop instead."""
     strip = min(strip, max(512, P))
     face_chunk = max(128, (face_chunk + 127) // 128 * 128)
     # the [face_chunk, strip] bf16 one-hot lives on the scoped-VMEM stack
@@ -1120,22 +1183,139 @@ def scatter_to_faces_pallas(
     pad_p = (-P) % strip
     n_strips = (P + pad_p) // strip
 
-    # the BITPACKED occupancy mask (32 chunks/word) lives in SMEM (~1 MB)
+    # prefer exact per-strip chunk lists in SMEM: grow the chunk while
+    # they overflow and the one-hot budget still allows; past that point
+    # fall back to the bitpacked mask (32x smaller)
     while (
-        n_strips * (-(-(-(-num_faces // face_chunk)) // 32)) * 4 > 512 * 1024
+        n_strips * (-(-num_faces // face_chunk)) * 4 > _SMEM_BUDGET
         and face_chunk < num_faces
+        and face_chunk * 2 * strip * 2 <= ONE_HOT_BUDGET
     ):
         face_chunk *= 2
-    # re-check the one-hot budget after the SMEM growth (shrinking the
-    # strip keeps [face_chunk, strip] bf16 within the scoped-VMEM allowance
-    # at extreme pixel x face counts)
-    while face_chunk * strip * 2 > ONE_HOT_BUDGET and strip > 512:
-        strip //= 2
-        pad_p = (-P) % strip
-        n_strips = (P + pad_p) // strip
     pad = (-num_faces) % face_chunk
     nf_p = num_faces + pad
     n_chunks = nf_p // face_chunk
+    use_list = n_strips * n_chunks * 4 <= _SMEM_BUDGET
+    return strip, face_chunk, pad_p, n_strips, pad, nf_p, n_chunks, use_list
+
+
+def slot_scatter_occupancy(ids, num_rows_out, strip=2048, face_chunk=128):
+    """Host-side (numpy) active-chunk lists for a STATIC id map.
+
+    Args:
+      ids: [P] or [bs, P] int numpy array (e.g. the face->vertex slot map
+        ``faces.reshape(-1)``; < 0 matches nothing).
+      num_rows_out/strip/face_chunk: must match the later
+        ``scatter_to_faces_pallas(..., strip=strip, face_chunk=face_chunk,
+        patch=None)`` call -- the geometry replay handles the auto-tuning.
+
+    Returns (cnt [bs, n_strips], active [bs, n_strips, n_chunks]) int32
+    numpy arrays for the ``occupancy`` parameter.
+    """
+    import numpy as _np
+
+    ids = _np.asarray(ids)
+    if ids.ndim == 1:
+        ids = ids[None]
+    bs, P = ids.shape
+    strip, face_chunk, pad_p, n_strips, pad, nf_p, n_chunks, use_list = (
+        _scatter_geometry(P, num_rows_out, strip, face_chunk)
+    )
+    ids_p = _np.concatenate(
+        [ids, _np.full((bs, pad_p), -1, ids.dtype)], axis=1
+    )
+    chunk_of = _np.where(ids_p < 0, -1, ids_p // face_chunk).reshape(
+        bs, n_strips, strip
+    )
+    occ = (
+        chunk_of[..., None] == _np.arange(n_chunks, dtype=_np.int64)
+    ).any(axis=2)
+    cnt = occ.sum(axis=-1).astype(_np.int32)
+    if use_list:
+        active = _np.argsort(~occ, axis=-1, kind="stable").astype(_np.int32)
+    else:
+        active = _bitpack_mask_np(occ)
+    return cnt, active
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_faces", "strip", "face_chunk", "interpret", "planar", "patch",
+    ),
+)
+def scatter_to_faces_pallas(
+    grad_map,
+    face_index_map,
+    num_faces,
+    strip=2048,
+    face_chunk=128,
+    interpret=False,
+    planar=False,
+    patch=(16, 128),
+    occupancy=None,
+):
+    """Pixel grads -> [bs, num_faces, D] per-face grads.  ``grad_map`` is
+    [bs, H, W, D], or [bs, D, H, W] when ``planar`` (the pipeline's
+    layout -- cheaper: the strip reshape stays plane-major).
+
+    Pallas TPU replacement for the XLA segment-sum in
+    ``gather_resolve._scatter_to_faces`` (the backward of the fused
+    resolve+gather): the segment sum becomes predicated one-hot matmuls on
+    the MXU with the whole per-face accumulator VMEM-resident (see
+    ``_scatter_kernel``).
+
+    ``patch``: pixels are reordered into (ph, pw) SPATIAL patches before
+    stripping (a pure reshape/transpose -- the scatter is order-
+    invariant).  The one-hot work scales with how many face-id chunks a
+    strip's winners span; a horizontal row strip crosses the whole mesh
+    (measured 648 active (strip, chunk) pairs = 1.36G one-hot compares at
+    512^2 x 158K faces) while spatial patches see only the local surface
+    (16x128 patches: 3.6x fewer compares).  Pass ``patch=None`` for raw
+    row-major order.  Defaults tuned on v5e at 512^2 x 158K faces:
+    1.0 ms vs 2.0 ms for the round-2 row-strip layout (same-session A/B).
+
+    ``occupancy``: optional precomputed (cnt [bs, n_strips] int32,
+    active [bs, n_strips, n_chunks] int32) active-chunk lists (ascending,
+    front-compacted), skipping the O(P x n_chunks) on-device occupancy
+    build.  Callers with a STATIC index map (e.g. the face->vertex slot
+    scatter: mesh connectivity is a compile-time constant in every real
+    workload) compute it once in numpy for free; sizes must match the
+    strip/face_chunk geometry after auto-tuning, so build it with
+    :func:`slot_scatter_occupancy`.
+    """
+    if planar:
+        bs, D, H, W = grad_map.shape
+    else:
+        bs, H, W, D = grad_map.shape
+
+    if patch is not None and H >= 2 * patch[0] and W >= patch[1]:
+        ph, pw = patch
+        Hp, Wp = -(-H // ph) * ph, -(-W // pw) * pw
+        fim2 = jnp.pad(
+            face_index_map, ((0, 0), (0, Hp - H), (0, Wp - W)),
+            constant_values=-1,
+        )
+        face_index_map = fim2.reshape(
+            bs, Hp // ph, ph, Wp // pw, pw
+        ).transpose(0, 1, 3, 2, 4)
+        if planar:
+            g2 = jnp.pad(grad_map, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W)))
+            grad_map = g2.reshape(
+                bs, D, Hp // ph, ph, Wp // pw, pw
+            ).transpose(0, 1, 2, 4, 3, 5).reshape(bs, D, Hp * Wp // pw, pw)
+        else:
+            g2 = jnp.pad(
+                grad_map, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0))
+            )
+            grad_map = g2.reshape(
+                bs, Hp // ph, ph, Wp // pw, pw, D
+            ).transpose(0, 1, 3, 2, 4, 5).reshape(bs, Hp * Wp // pw, pw, D)
+        H, W = Hp * Wp // pw, pw
+    P = H * W
+    strip, face_chunk, pad_p, n_strips, pad, nf_p, n_chunks, use_list = (
+        _scatter_geometry(P, num_faces, strip, face_chunk)
+    )
 
     fim_pad = jnp.pad(
         face_index_map.reshape(bs, P), ((0, 0), (0, pad_p)),
@@ -1150,35 +1330,51 @@ def scatter_to_faces_pallas(
     grad_flat = jnp.pad(grad_flat, ((0, 0), (0, 0), (0, pad_p)))
     grad_flat = grad_flat.reshape(bs, D, n_strips, strip).transpose(0, 2, 1, 3)
 
-    # exact strip-chunk occupancy: does strip s contain any pixel whose
-    # winning face lies in chunk c?  (bg/pad pixels -> chunk -1, match none)
-    # EXACT strip-chunk occupancy (O(pixels x n_chunks) to build -- ~1.6 ms
-    # at 630K faces).  A cheaper per-strip [min, max] chunk RANGE was
-    # tried and is 1.5x SLOWER end to end: a horizontal pixel strip
-    # crosses the whole mesh, so winner ids are sparse but NOT contiguous
-    # and the range superset makes the kernel loop nearly every chunk.
-    chunk_of = jnp.where(fim_pad < 0, -1, fim_pad // face_chunk).reshape(
-        bs, n_strips, strip
-    )
-    occ = jnp.any(
-        chunk_of[..., None] == jnp.arange(n_chunks, dtype=jnp.int32), axis=2
-    )
-    mask = _bitpack_mask(occ)                # [bs, n_strips, n_words]
-    n_words = mask.shape[-1]
+    # exact per-strip ACTIVE-CHUNK LISTS: the ascending set of chunks
+    # holding any of the strip's winners, compacted to the front by a
+    # stable argsort (bg/pad pixels -> chunk -1, match none).  The
+    # occupancy build is O(pixels x n_chunks) compares (~1.6 ms at 630K
+    # faces); a per-strip [min, max] chunk RANGE was tried and is 1.5x
+    # slower end to end (strip winners are sparse, not contiguous).
+    if occupancy is not None:
+        cnt, active = occupancy
+        w = n_chunks if use_list else -(-n_chunks // 32)
+        assert active.shape == (bs, n_strips, w), (
+            active.shape, (bs, n_strips, w),
+        )
+    else:
+        chunk_of = jnp.where(fim_pad < 0, -1, fim_pad // face_chunk).reshape(
+            bs, n_strips, strip
+        )
+        occ = jnp.any(
+            chunk_of[..., None] == jnp.arange(n_chunks, dtype=jnp.int32),
+            axis=2,
+        )
+        cnt = jnp.sum(occ, axis=-1).astype(jnp.int32)   # [bs, n_strips]
+        if use_list:
+            active = jnp.argsort(~occ, axis=-1, stable=True).astype(jnp.int32)
+        else:
+            active = _bitpack_mask(occ)
 
+    n_list = active.shape[-1]
     kernel = functools.partial(
         _scatter_kernel,
         strip=strip,
         face_chunk=face_chunk,
         n_chunks=n_chunks,
         num_attrs=D,
+        use_list=use_list,
     )
     out = pl.pallas_call(
         kernel,
         grid=(bs, n_strips),
         in_specs=[
             pl.BlockSpec(
-                (1, n_strips, n_words),
+                (1, n_strips), lambda b, t: (b, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_strips, n_list),
                 lambda b, t: (b, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
@@ -1188,11 +1384,13 @@ def scatter_to_faces_pallas(
         out_specs=pl.BlockSpec((1, D, nf_p), lambda b, t: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bs, D, nf_p), jnp.float32),
         interpret=interpret,
-    )(mask, fim_flat, grad_flat)
+    )(cnt, active, fim_flat, grad_flat)
     return out[:, :, :num_faces].transpose(0, 2, 1)
 
 
 def _scatter_rows_kernel(
+    pmask_ref,   # [1, n_strips, n_pwords] int32 in SMEM: BITPACKED
+                 # per-(strip, part) any-hit flags
     mask_ref,    # [1, n_strips, n_words] int32 in SMEM: BITPACKED occupancy
     ids_ref,     # [1, 1, 1, T] int32: target row ids, one strip
     g_ref,       # [1, 1, D, T] f32: gradients, one strip
@@ -1201,6 +1399,7 @@ def _scatter_rows_kernel(
     chunk,
     chunks_per_part,
     D,
+    n_words,
 ):
     """Row scatter-add into a LARGE table, one VMEM-resident part at a
     time: out[:, ids[t]] += g[:, t].
@@ -1209,11 +1408,16 @@ def _scatter_rows_kernel(
     whole accumulator resident (e.g. texture atlases: a 2.3M-texel f32
     accumulator is 27 MB).  Grid is (batch, part, strip) with strips
     innermost, so each part's accumulator stays resident while every
-    gradient strip streams past once per part; the strip-chunk occupancy
-    mask (bitpacked 32 chunks/word -- at atlas scale a flat int32 mask
-    blows the 1 MB SMEM budget) skips the one-hot work for (strip, chunk)
-    pairs with no hits.  bf16 hi+lo gradient split as in
-    ``_scatter_kernel`` (~2^-17 rel).
+    gradient strip streams past once per part.
+
+    The scalar control path is three-tier (ids in a strip are coherent,
+    so almost all candidate (part, strip, chunk) triples have no hits,
+    and inactive scalar iterations -- not one-hot math -- dominated the
+    old flat chunk loop):
+      1. one per-(part, strip) flag skips the whole program body,
+      2. a word loop over the part's mask span skips 32 chunks per test,
+      3. only set bits build the [chunk, T] one-hot (bf16 hi+lo gradient
+         split as in ``_scatter_kernel``, ~2^-17 rel).
     """
     p = pl.program_id(1)
     s = pl.program_id(2)
@@ -1222,34 +1426,58 @@ def _scatter_rows_kernel(
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    ids = ids_ref[0, 0]                      # [1, T]
-    g = g_ref[0, 0]                          # [D, T]
-    g_hi = g.astype(jnp.bfloat16)
-    g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    pbit = (pmask_ref[0, s, p // 32] >> (p % 32)) & 1
 
-    def chunk_body(k, _):
-        c = p * chunks_per_part + k
-        bit = (mask_ref[0, s, c // 32] >> (c % 32)) & 1
+    @pl.when(pbit != 0)
+    def _part_active():
+        ids = ids_ref[0, 0]                      # [1, T]
+        g = g_ref[0, 0]                          # [D, T]
+        g_hi = g.astype(jnp.bfloat16)
+        g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-        @pl.when(bit != 0)
-        def _accumulate():
-            rows = c * chunk + jax.lax.broadcasted_iota(
-                jnp.int32, (chunk, 1), 0
-            )
-            one_hot = (ids == rows).astype(jnp.bfloat16)   # [K, T]
+        c_lo = p * chunks_per_part
+        w_lo = c_lo // 32
+        # static span of words covering this part's chunks (+1 for the
+        # word straddling the part boundary)
+        span = chunks_per_part // 32 + 2
 
-            def dot_t(a):  # [D, T] x [K, T] -> [D, K], contract lanes
-                return jax.lax.dot_general(
-                    a, one_hot,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+        def word_body(wi, _):
+            w = w_lo + wi
+            wv = jnp.minimum(w, n_words - 1)
+            word = jnp.where(w < n_words, mask_ref[0, s, wv], 0)
 
-            col = pl.multiple_of(k * chunk, 128)
-            out_ref[0, :, pl.ds(col, chunk)] += dot_t(g_hi) + dot_t(g_lo)
-        return 0
+            @pl.when(word != 0)
+            def _word_active():
+                def bit_body(b, _):
+                    c = wv * 32 + b
+                    k = c - c_lo
+                    ok = ((word >> b) & 1) != 0
+                    ok &= (k >= 0) & (k < chunks_per_part)
 
-    jax.lax.fori_loop(0, chunks_per_part, chunk_body, 0)
+                    @pl.when(ok)
+                    def _accumulate():
+                        rows = c * chunk + jax.lax.broadcasted_iota(
+                            jnp.int32, (chunk, 1), 0
+                        )
+                        one_hot = (ids == rows).astype(jnp.bfloat16)  # [K, T]
+
+                        def dot_t(a):  # [D, T] x [K, T] -> [D, K]
+                            return jax.lax.dot_general(
+                                a, one_hot,
+                                dimension_numbers=(((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+
+                        col = pl.multiple_of(k * chunk, 128)
+                        out_ref[0, :, pl.ds(col, chunk)] += (
+                            dot_t(g_hi) + dot_t(g_lo)
+                        )
+                    return 0
+
+                jax.lax.fori_loop(0, 32, bit_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, span, word_body, 0)
 
 
 @functools.partial(
@@ -1309,17 +1537,29 @@ def scatter_rows_pallas(
     )                                        # [bs, n_strips, n_chunks]
     mask = _bitpack_mask(occ)                # [bs, n_strips, n_words]
     n_words = mask.shape[-1]
+    # per-(strip, part) any-hit flags: coherent ids put a strip's rows in
+    # 1-2 parts, so most (part, strip) programs skip on one scalar test
+    p_occ = jnp.any(
+        occ.reshape(bs, n_strips, n_parts, chunks_per_part), axis=-1
+    )
+    pmask = _bitpack_mask(p_occ)             # [bs, n_strips, n_pwords]
+    n_pwords = pmask.shape[-1]
 
     kernel = functools.partial(
         _scatter_rows_kernel,
         chunk=chunk,
         chunks_per_part=chunks_per_part,
         D=D,
+        n_words=n_words,
     )
     out = pl.pallas_call(
         kernel,
         grid=(bs, n_parts, n_strips),
         in_specs=[
+            pl.BlockSpec(
+                (1, n_strips, n_pwords), lambda b, p, s: (b, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec(
                 (1, n_strips, n_words), lambda b, p, s: (b, 0, 0),
                 memory_space=pltpu.SMEM,
@@ -1331,6 +1571,7 @@ def scatter_rows_pallas(
         out_shape=jax.ShapeDtypeStruct((bs, D, n_p), jnp.float32),
         interpret=interpret,
     )(
+        pmask,
         mask,
         ids_p.reshape(bs, n_strips, 1, strip),
         g_p.reshape(bs, D, n_strips, strip).transpose(0, 2, 1, 3),
@@ -1339,7 +1580,11 @@ def scatter_rows_pallas(
 
 
 def _gather_kernel(
-    mask_ref,    # [1, n_strips, n_words] int32 in SMEM: BITPACKED occupancy
+    cnt_ref,     # [1, n_strips] int32 in SMEM: active chunks per strip
+    list_ref,    # [1, n_strips, n_chunks] int32 in SMEM: active chunk ids,
+                 # ascending, compacted to the front (whole array resident);
+                 # the BITPACKED mask [1, n_strips, n_words] when not
+                 # ``use_list``
     ids_ref,     # [1, 1, 1, T] int32: row ids to gather, one strip
     table_ref,   # [1, D, n_p] f32: THE WHOLE table, VMEM-resident
     out_ref,     # [1, 1, D, T] f32
@@ -1348,14 +1593,17 @@ def _gather_kernel(
     chunk,
     n_chunks,
     D,
+    use_list,
 ):
     """Row gather as predicated one-hot MXU matmuls (BIT-exact).
 
     out[:, t] = table[:, ids[t]]
 
     The transpose of ``_scatter_kernel``'s pattern: per strip of ids, loop
-    the table chunks its rows fall in (exact occupancy mask; coherent ids
-    touch only a few chunks) and accumulate ``table_chunk @ one_hot``.
+    the strip's compact active-chunk list (coherent ids touch only a few
+    chunks; the loop runs exactly that many iterations -- see
+    ``_scatter_kernel`` for why a mask-predicated loop over all chunks
+    loses) and accumulate ``table_chunk @ one_hot``.
 
     Exactness: the MXU multiplies in bf16, so the f32 table is split into
     THREE bf16 parts (hi + mid + lo covers all 24 mantissa bits; each
@@ -1370,53 +1618,61 @@ def _gather_kernel(
     out_ref[...] = jnp.zeros_like(out_ref)
     ids = ids_ref[0, 0]                      # [1, T]
 
-    def chunk_body(c, _):
-        bit = (mask_ref[0, t, c // 32] >> (c % 32)) & 1
+    def accumulate(c):
+        rows = c * chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (chunk, 1), 0
+        )
+        one_hot = (ids == rows).astype(jnp.bfloat16)   # [K, T]
+        col = pl.multiple_of(c * chunk, 128)
+        tbl = table_ref[0, :, pl.ds(col, chunk)]       # [D, K] f32
+        hi = tbl.astype(jnp.bfloat16)
+        r1 = tbl - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
 
-        @pl.when(bit != 0)
-        def _accumulate():
-            rows = c * chunk + jax.lax.broadcasted_iota(
-                jnp.int32, (chunk, 1), 0
+        def dot(a):  # [D, K] x [K, T] -> [D, T]
+            return jax.lax.dot_general(
+                a, one_hot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            one_hot = (ids == rows).astype(jnp.bfloat16)   # [K, T]
-            col = pl.multiple_of(c * chunk, 128)
-            tbl = table_ref[0, :, pl.ds(col, chunk)]       # [D, K] f32
-            hi = tbl.astype(jnp.bfloat16)
-            r1 = tbl - hi.astype(jnp.float32)
-            mid = r1.astype(jnp.bfloat16)
-            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
 
-            def dot(a):  # [D, K] x [K, T] -> [D, T]
-                return jax.lax.dot_general(
-                    a, one_hot,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+        out_ref[0, 0] += dot(hi) + dot(mid) + dot(lo)
 
-            out_ref[0, 0] += dot(hi) + dot(mid) + dot(lo)
-        return 0
+    if use_list:
+        def chunk_body(i, _):
+            accumulate(list_ref[0, t, i])
+            return 0
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        jax.lax.fori_loop(0, cnt_ref[0, t], chunk_body, 0)
+    else:
+        # bitpacked word-skip loop (exact lists too big for SMEM); a set
+        # bit beyond n_chunks cannot occur (_bitpack_mask zero-pads)
+        n_words = -(-n_chunks // 32)
+
+        def word_body(w, _):
+            word = list_ref[0, t, w]
+
+            @pl.when(word != 0)
+            def _word_active():
+                def bit_body(b, _):
+                    @pl.when(((word >> b) & 1) != 0)
+                    def _acc():
+                        accumulate(w * 32 + b)
+                    return 0
+
+                jax.lax.fori_loop(0, 32, bit_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_words, word_body, 0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("strip", "chunk", "interpret"),
-)
-def gather_rows_pallas(table, ids, strip=2048, chunk=512, interpret=False):
-    """``table[b, ids[b]]``: [bs, n, D] x [bs, P] int32 -> [bs, P, D],
-    bit-exact, via predicated one-hot MXU matmuls (``_gather_kernel``).
-
-    TPU replacement for XLA's row gather, which executes serially
-    (~16 ns/row: 7.5 ms for the 473K-row face-vertex gather at 158K
-    faces).  Requires ids >= 0.  Efficient when ids are chunk-local
-    (vertex ids of nearby faces -- true for any coherently-numbered
-    mesh); worst-case (ids uniform over a huge table) degrades toward
-    one-hot work over every chunk, so callers with incoherent ids should
-    prefer the XLA gather.
-    """
-    bs, n, D = table.shape
-    P = ids.shape[-1]
+def _gather_geometry(P, n, strip, chunk):
+    """Shared size tuning for the one-hot row gather: returns
+    (strip, chunk, pad_p, n_strips, pad_n, n_p, n_chunks, use_list).
+    Pure python on static ints -- :func:`slot_gather_occupancy` replays
+    it on the host so precomputed occupancy lists match the kernel
+    geometry.  See :func:`_scatter_geometry` for ``use_list``."""
     strip = min(strip, max(128, P))
     chunk = max(128, (chunk + 127) // 128 * 128)
     # the [chunk, strip] bf16 one-hot lives on the scoped-VMEM stack
@@ -1428,46 +1684,117 @@ def gather_rows_pallas(table, ids, strip=2048, chunk=512, interpret=False):
     while chunk * strip * 2 > ONE_HOT_BUDGET and strip > 512:
         strip //= 2
     pad_p = (-P) % strip
-    ids_p = jnp.pad(ids.reshape(bs, P), ((0, 0), (0, pad_p)))
     n_strips = (P + pad_p) // strip
-
-    # the BITPACKED occupancy mask (32 chunks/word) lives in SMEM (~1 MB)
+    # prefer exact per-strip chunk lists in SMEM (bitpacked fallback past
+    # the budget -- see _scatter_geometry)
     while (
-        n_strips * (-(-(-(-n // chunk)) // 32)) * 4 > 512 * 1024 and chunk < n
+        n_strips * (-(-n // chunk)) * 4 > _SMEM_BUDGET
+        and chunk < n
+        and chunk * 2 * strip * 2 <= ONE_HOT_BUDGET
     ):
         chunk *= 2
-    # re-check the one-hot budget after the SMEM growth (see
-    # scatter_to_faces_pallas)
-    while chunk * strip * 2 > ONE_HOT_BUDGET and strip > 512:
-        strip //= 2
-        pad_p = (-P) % strip
-        ids_p = jnp.pad(ids.reshape(bs, P), ((0, 0), (0, pad_p)))
-        n_strips = (P + pad_p) // strip
     pad_n = (-n) % chunk
     n_p = n + pad_n
     n_chunks = n_p // chunk
+    use_list = n_strips * n_chunks * 4 <= _SMEM_BUDGET
+    return strip, chunk, pad_p, n_strips, pad_n, n_p, n_chunks, use_list
+
+
+def slot_gather_occupancy(ids, n, strip=2048, chunk=512):
+    """Host-side (numpy) active-chunk lists for a STATIC
+    :func:`gather_rows_pallas` id map (e.g. the face->vertex slots).
+    Returns (cnt [bs, n_strips], active [bs, n_strips, n_chunks]) int32
+    for its ``occupancy`` parameter; strip/chunk must match the call."""
+    import numpy as _np
+
+    ids = _np.asarray(ids)
+    if ids.ndim == 1:
+        ids = ids[None]
+    bs, P = ids.shape
+    strip, chunk, pad_p, n_strips, pad_n, n_p, n_chunks, use_list = (
+        _gather_geometry(P, n, strip, chunk)
+    )
+    ids_p = _np.concatenate(
+        [ids, _np.zeros((bs, pad_p), ids.dtype)], axis=1
+    )
+    chunk_of = (ids_p // chunk).reshape(bs, n_strips, strip)
+    occ = (
+        chunk_of[..., None] == _np.arange(n_chunks, dtype=_np.int64)
+    ).any(axis=2)
+    cnt = occ.sum(axis=-1).astype(_np.int32)
+    if use_list:
+        active = _np.argsort(~occ, axis=-1, kind="stable").astype(_np.int32)
+    else:
+        active = _bitpack_mask_np(occ)
+    return cnt, active
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("strip", "chunk", "interpret"),
+)
+def gather_rows_pallas(
+    table, ids, strip=2048, chunk=512, interpret=False, occupancy=None
+):
+    """``table[b, ids[b]]``: [bs, n, D] x [bs, P] int32 -> [bs, P, D],
+    bit-exact, via predicated one-hot MXU matmuls (``_gather_kernel``).
+
+    TPU replacement for XLA's row gather, which executes serially
+    (~16 ns/row: 7.5 ms for the 473K-row face-vertex gather at 158K
+    faces).  Requires ids >= 0.  Efficient when ids are chunk-local
+    (vertex ids of nearby faces -- true for any coherently-numbered
+    mesh); worst-case (ids uniform over a huge table) degrades toward
+    one-hot work over every chunk, so callers with incoherent ids should
+    prefer the XLA gather.
+
+    ``occupancy``: optional precomputed (cnt, active) lists from
+    :func:`slot_gather_occupancy` (static id maps), skipping the
+    on-device occupancy build.
+    """
+    bs, n, D = table.shape
+    P = ids.shape[-1]
+    strip, chunk, pad_p, n_strips, pad_n, n_p, n_chunks, use_list = (
+        _gather_geometry(P, n, strip, chunk)
+    )
+    ids_p = jnp.pad(ids.reshape(bs, P), ((0, 0), (0, pad_p)))
     table_pl = jnp.pad(
         table.transpose(0, 2, 1), ((0, 0), (0, 0), (0, pad_n))
     )  # [bs, D, n_p]
 
-    chunk_of = ids_p // chunk
-    occ = jnp.any(
-        chunk_of.reshape(bs, n_strips, strip)[..., None]
-        == jnp.arange(n_chunks, dtype=jnp.int32),
-        axis=2,
-    )
-    mask = _bitpack_mask(occ)
-    n_words = mask.shape[-1]
+    if occupancy is not None:
+        cnt, active = occupancy
+        w = n_chunks if use_list else -(-n_chunks // 32)
+        assert active.shape == (bs, n_strips, w), (
+            active.shape, (bs, n_strips, w),
+        )
+    else:
+        chunk_of = ids_p // chunk
+        occ = jnp.any(
+            chunk_of.reshape(bs, n_strips, strip)[..., None]
+            == jnp.arange(n_chunks, dtype=jnp.int32),
+            axis=2,
+        )
+        cnt = jnp.sum(occ, axis=-1).astype(jnp.int32)
+        if use_list:
+            active = jnp.argsort(~occ, axis=-1, stable=True).astype(jnp.int32)
+        else:
+            active = _bitpack_mask(occ)
 
+    n_list = active.shape[-1]
     kernel = functools.partial(
-        _gather_kernel, strip=strip, chunk=chunk, n_chunks=n_chunks, D=D
+        _gather_kernel, strip=strip, chunk=chunk, n_chunks=n_chunks, D=D,
+        use_list=use_list,
     )
     out = pl.pallas_call(
         kernel,
         grid=(bs, n_strips),
         in_specs=[
             pl.BlockSpec(
-                (1, n_strips, n_words), lambda b, t: (b, 0, 0),
+                (1, n_strips), lambda b, t: (b, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_strips, n_list), lambda b, t: (b, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec((1, 1, 1, strip), lambda b, t: (b, t, 0, 0)),
@@ -1476,7 +1803,7 @@ def gather_rows_pallas(table, ids, strip=2048, chunk=512, interpret=False):
         out_specs=pl.BlockSpec((1, 1, D, strip), lambda b, t: (b, t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bs, n_strips, D, strip), jnp.float32),
         interpret=interpret,
-    )(mask, ids_p.reshape(bs, n_strips, 1, strip), table_pl)
+    )(cnt, active, ids_p.reshape(bs, n_strips, 1, strip), table_pl)
     return out.transpose(0, 1, 3, 2).reshape(bs, n_strips * strip, D)[:, :P]
 
 

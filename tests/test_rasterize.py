@@ -326,15 +326,59 @@ def test_custom_adam_param_wise_lr():
     np.testing.assert_allclose(np.asarray(new["b"]), 1.0 - 0.1, atol=1e-3)
 
 
-def test_odd_image_size_renders(reference_data):
-    """Non-8-aligned sizes fall back to the XLA resolve transparently."""
+def test_odd_image_size_renders(reference_data, monkeypatch):
+    """Non-8-aligned / non-128-wide sizes run the PALLAS kernel (padded
+    canvas + crop inside the op -- no silent XLA fallback) and match the
+    XLA resolve bit-exactly."""
+    from neural_renderer_v2_pytorch_tpu.ops import gather_resolve, resolve_pallas
+    from neural_renderer_v2_pytorch_tpu.ops.rasterize import (
+        RasterizeHyperparam,
+        rasterize_silhouettes,
+    )
+
     vertices, faces = nr.load_obj(str(reference_data / "teapot.obj"))
     renderer = nr.Renderer()
-    renderer.image_size = 50  # render_size 100 with AA
+    renderer.image_size = 50  # render_size 100 with AA: 100 % 8 != 0
     renderer.viewpoints = nr.get_points_from_angles(2.732, 30, 45)
+    renderer.backend = "pallas"
+
+    calls = []
+    real = resolve_pallas.resolve_gather_pallas
+
+    def spy(*args, **kw):
+        calls.append(kw.get("num_rows"))
+        return real(*args, **kw)
+
+    monkeypatch.setattr(resolve_pallas, "resolve_gather_pallas", spy)
     sil = np.asarray(renderer.render_silhouettes(vertices[None], faces))
     assert sil.shape == (1, 50, 50)
     assert 0.05 < sil.mean() < 0.3
+    assert calls, "pallas backend was not used for the odd size"
+
+    # bit-exact vs the XLA resolve at an odd, non-128 width, no AA
+    tv = renderer.transform_vertices(jnp.asarray(vertices[None]))
+    hp = RasterizeHyperparam(image_size=75, anti_aliasing=False)
+    pal = np.asarray(
+        rasterize_silhouettes(tv, faces, None, hp.replace(backend="pallas"))
+    )
+    xla = np.asarray(
+        rasterize_silhouettes(tv, faces, None, hp.replace(backend="xla"))
+    )
+    np.testing.assert_array_equal(pal, xla)
+
+    # and the gradients agree through the padded canvas too
+    ref = np.random.RandomState(3).rand(1, 75, 75).astype("float32")
+
+    def loss(tv, backend):
+        return jnp.sum(
+            rasterize_silhouettes(tv, faces, None, hp.replace(backend=backend))
+            * ref
+        )
+
+    g_pal = np.asarray(jax.grad(lambda v: loss(v, "pallas"))(tv))
+    g_xla = np.asarray(jax.grad(lambda v: loss(v, "xla"))(tv))
+    scale = max(np.abs(g_xla).max(), 1e-9)
+    np.testing.assert_allclose(g_pal, g_xla, atol=1e-4 * scale)
 
 
 def test_renderer_look_mode_and_background_image(reference_data):
