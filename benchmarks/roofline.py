@@ -52,6 +52,10 @@ def main():
     from scaling import subdivide
 
     def device_time(fn, carry, n1=6, n2=24):
+        # N-differencing ONLY: the tunnel adds a fixed ~50-60 ms round-trip
+        # per fetch, so wall/n for any single chain reports that latency
+        # floor, not the op (a trivial x+1 body "reads" 2.3 ms at n=24).
+        # Callers pick (n1, n2) so (n2-n1)*per_iter >> ~5 ms tunnel noise.
         def wall(N):
             @jax.jit
             def run(v):
@@ -73,9 +77,7 @@ def main():
                 best = min(best, time.perf_counter() - t0)
             return best
         w1, w2 = wall(n1), wall(n2)
-        if w2 - w1 < 0.2 * w2:
-            return w2 / n2 * 1e3
-        return (w2 - w1) / (n2 - n1) * 1e3
+        return max(w2 - w1, 0.0) / (n2 - n1) * 1e3
 
     v, f = nr.load_obj(TEAPOT)
     for _ in range(args.faces_level):
@@ -96,18 +98,25 @@ def main():
         hbm_ms = hbm_bytes / (HBM_GBS * 1e9) * 1e3
         vpu_ms = lane_ops / VPU_LANEOPS * 1e3
         roof = max(hbm_ms, vpu_ms)
+        if measured_ms < roof:
+            # differenced wall below the roof: the stage is at speed of
+            # light and the residual is tunnel noise -- report the bound
+            measured_ms = roof
+            note = "<= roof (sub-noise); " + note
         rows.append((name, measured_ms, hbm_bytes / MB, hbm_ms, vpu_ms,
                      100.0 * roof / measured_ms if measured_ms else 0.0, note))
 
     # --- resolve + latch forward ------------------------------------------
+    # xy-only latch (the silhouette path), G=8 face groups
     t = device_time(
-        lambda x: x + 1e-12 * resolve_gather_pallas(x, None, S)[1].mean(), fv
+        lambda x: x + 1e-12 * resolve_gather_pallas(
+            x, None, S, latch_z=False)[1].mean(), fv
     )
-    # HBM: faces in (+ chunk copy), consts, index/depth/9 latch planes out
-    bytes_resolve = (nf * 9 * 4) * 2 + nf * 17 * 4 + (2 + 9) * S * S * 4
-    # VPU: groups of 4 tiny faces share one (16,128) window; ~22 accept
+    # HBM: faces in (+ chunk copy), consts, index/depth/6 latch planes out
+    bytes_resolve = (nf * 9 * 4) * 2 + nf * 17 * 4 + (2 + 6) * S * S * 4
+    # VPU: groups of 8 tiny faces share one (16,128) window; ~22 accept
     # ops per face + ~40 shared load/store/latch ops per group
-    lane_ops = (nf / 4) * (16 * 128) * (4 * 22 + 40)
+    lane_ops = (nf / 8) * (16 * 128) * (8 * 22 + 40)
     report("resolve+latch fwd", t, bytes_resolve, lane_ops,
            "compute-bound: per-face window math")
 
@@ -118,15 +127,25 @@ def main():
     t = device_time(
         lambda x: x + 1e-12 * scatter_to_faces_pallas(
             x, fim, nf, planar=True).sum(),
-        g9,
+        g9, n1=24, n2=120,
     )
     bytes_scatter = 9 * S * S * 4 + S * S * 4 + nf * 9 * 4
-    # one-hot compares: active (strip, chunk) pairs ~ coherent fim ->
-    # ~3 chunks/strip (measured); each pair compares [256, 8192]
-    strips = S * S // 8192
-    lane_ops = strips * 3 * 256 * 8192
+    # one-hot build: EXACT active (strip, chunk) pairs for the kernel's
+    # patch-reordered layout, computed from the real fim; ~2 lane-ops per
+    # one-hot element (compare + select/cast)
+    from neural_renderer_v2_pytorch_tpu.ops.resolve_pallas import (
+        _scatter_geometry,
+    )
+
+    ph, pw = 16, 128
+    patch_fim = fim[0].reshape(S // ph, ph, S // pw, pw).transpose(
+        0, 2, 1, 3).reshape(-1)
+    strip, K = _scatter_geometry(S * S, nf, 2048, 128)[:2]
+    ch = np.where(patch_fim < 0, -1, patch_fim // K).reshape(-1, strip)
+    pairs = sum(len(np.unique(r[r >= 0])) for r in ch)
+    lane_ops = pairs * K * strip * 2
     report("pixel->face scatter bwd", t, bytes_scatter, lane_ops,
-           "one-hot compares dominate")
+           "one-hot build over active pairs")
 
     # --- NMR differentiation backward --------------------------------------
     coord = jnp.asarray(np.random.RandomState(1).rand(1, 2, S, S).astype("f"))
@@ -137,7 +156,7 @@ def main():
             lambda c: jnp.sum(differentiation(img, c) * img)
         )(x)
         return x + 1e-12 * g
-    t = device_time(nmr_step, coord)
+    t = device_time(nmr_step, coord, n1=100, n2=500)
     bytes_nmr = (1 + 1 + 2) * S * S * 4 * 3   # images, grads, coords; shifts
     report("NMR differentiation bwd", t, bytes_nmr, 0, "elementwise shifts")
 

@@ -1044,7 +1044,10 @@ def _bitpack_mask(occ):
 
 
 def _scatter_kernel(
-    cnt_ref,     # [1, n_strips] int32 in SMEM: active chunks per strip
+    cnt_ref,     # [1, 1, n_strips] int32 in SMEM: active chunks per strip
+                 # (leading singleton: a 2-D (1, n_strips) block over a
+                 # [bs, n_strips] array fails the TPU last-two-dims block
+                 # rule whenever bs > 1)
     list_ref,    # [1, n_strips, n_chunks] int32 in SMEM: active chunk ids,
                  # ascending, compacted to the front (whole array resident;
                  # the constant block index means Mosaic never re-streams
@@ -1130,7 +1133,7 @@ def _scatter_kernel(
             accumulate(list_ref[0, t, i])
             return 0
 
-        jax.lax.fori_loop(0, cnt_ref[0, t], chunk_body, 0)
+        jax.lax.fori_loop(0, cnt_ref[0, 0, t], chunk_body, 0)
     else:
         # bitpacked word-skip loop (exact lists too big for SMEM)
         n_words = -(-n_chunks // 32)
@@ -1370,7 +1373,7 @@ def scatter_to_faces_pallas(
         grid=(bs, n_strips),
         in_specs=[
             pl.BlockSpec(
-                (1, n_strips), lambda b, t: (b, 0),
+                (1, 1, n_strips), lambda b, t: (b, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
@@ -1384,7 +1387,7 @@ def scatter_to_faces_pallas(
         out_specs=pl.BlockSpec((1, D, nf_p), lambda b, t: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bs, D, nf_p), jnp.float32),
         interpret=interpret,
-    )(cnt, active, fim_flat, grad_flat)
+    )(cnt.reshape(bs, 1, n_strips), active, fim_flat, grad_flat)
     return out[:, :, :num_faces].transpose(0, 2, 1)
 
 
@@ -1580,7 +1583,10 @@ def scatter_rows_pallas(
 
 
 def _gather_kernel(
-    cnt_ref,     # [1, n_strips] int32 in SMEM: active chunks per strip
+    cnt_ref,     # [1, 1, n_strips] int32 in SMEM: active chunks per strip
+                 # (leading singleton: a 2-D (1, n_strips) block over a
+                 # [bs, n_strips] array fails the TPU last-two-dims block
+                 # rule whenever bs > 1)
     list_ref,    # [1, n_strips, n_chunks] int32 in SMEM: active chunk ids,
                  # ascending, compacted to the front (whole array resident);
                  # the BITPACKED mask [1, n_strips, n_words] when not
@@ -1644,7 +1650,7 @@ def _gather_kernel(
             accumulate(list_ref[0, t, i])
             return 0
 
-        jax.lax.fori_loop(0, cnt_ref[0, t], chunk_body, 0)
+        jax.lax.fori_loop(0, cnt_ref[0, 0, t], chunk_body, 0)
     else:
         # bitpacked word-skip loop (exact lists too big for SMEM); a set
         # bit beyond n_chunks cannot occur (_bitpack_mask zero-pads)
@@ -1790,7 +1796,7 @@ def gather_rows_pallas(
         grid=(bs, n_strips),
         in_specs=[
             pl.BlockSpec(
-                (1, n_strips), lambda b, t: (b, 0),
+                (1, 1, n_strips), lambda b, t: (b, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
@@ -1803,7 +1809,7 @@ def gather_rows_pallas(
         out_specs=pl.BlockSpec((1, 1, D, strip), lambda b, t: (b, t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bs, n_strips, D, strip), jnp.float32),
         interpret=interpret,
-    )(cnt, active, ids_p.reshape(bs, n_strips, 1, strip), table_pl)
+    )(cnt.reshape(bs, 1, n_strips), active, ids_p.reshape(bs, n_strips, 1, strip), table_pl)
     return out.transpose(0, 1, 3, 2).reshape(bs, n_strips * strip, D)[:, :P]
 
 
