@@ -71,8 +71,12 @@ def rasterize_core_sharded(vertices, faces, params, hyperparams, mesh):
     n_data = mesh.shape["data"]
     n_face = dict(mesh.shape).get("face", 1)
     assert bs % n_data == 0, (bs, n_data)
-    assert render_size % n_tile == 0, (render_size, n_tile)
-    rows = render_size // n_tile
+    # Uneven tile splits pad the row count up to a tile multiple: the
+    # trailing shard renders rows past the image bottom, whose pixel
+    # centres lie outside every face's bbox (yp > 1), so they resolve to
+    # background and are cropped off again before the global stage.
+    rows = -(-render_size // n_tile)
+    padded_rows = rows * n_tile
     face_axis = "face" if n_face > 1 else None
 
     def local_fn(vertices, faces, vt, ft, tex, lights):
@@ -110,6 +114,10 @@ def rasterize_core_sharded(vertices, faces, params, hyperparams, mesh):
         params.textures,
         lights,
     )
+    if padded_rows != render_size:
+        images = images[:, :, :render_size]
+        coords = coords[:, :, :render_size]
+        fg = fg[:, :, :render_size]
     backgrounds = make_backgrounds(params, bs, render_size)
     return finalize_images(images, coords, fg, backgrounds, hp)
 

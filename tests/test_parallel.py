@@ -326,6 +326,41 @@ def test_resolve_and_gather_latch_z_paths():
     np.testing.assert_allclose(g6[..., :2], g9[..., :2], atol=1e-6)
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_sharded_aa_uneven_tile_split(transformed_batch, teapot, backend):
+    """AA render whose internal row count does NOT divide the tile axis
+    (image_size=33 -> 66 rows over tile=4 -> 17 rows/shard, 2 pad rows):
+    the pad-rows-and-crop path must reproduce the single-device image
+    bit-exactly (forward is row-local) and its gradients, exercising the
+    AA pool + NMR-backward halo exchange at uneven shard boundaries."""
+    tv, f = transformed_batch
+    _, faces_np = teapot
+    vt, ft, tex = nr.create_textures(faces_np.shape[0], texture_size=2)
+    bs = 2
+    params = RasterizeParam(
+        vertices_textures=jnp.asarray(np.tile(vt[None], (bs, 1, 1))),
+        faces_textures=jnp.asarray(ft),
+        textures=jnp.asarray(np.tile(tex[None], (bs, 1, 1, 1))),
+    )
+    hp = RasterizeHyperparam(image_size=33, anti_aliasing=True, backend=backend)
+    mesh = make_mesh(data=2, tile=4)
+    sharded = np.asarray(rasterize_rgb_sharded(tv, f, params, hp, mesh=mesh))
+    single = np.asarray(rasterize_rgb(tv, f, params, hp.replace(backend="xla")))
+    np.testing.assert_allclose(sharded, single, atol=3e-5)
+
+    def loss_sharded(tv):
+        return jnp.sum(rasterize_rgb_sharded(tv, f, params, hp, mesh=mesh) ** 2)
+
+    def loss_single(tv):
+        return jnp.sum(rasterize_rgb(tv, f, params, hp.replace(backend="xla")) ** 2)
+
+    g_sh = np.asarray(jax.grad(loss_sharded)(tv))
+    g_si = np.asarray(jax.grad(loss_single)(tv))
+    scale = np.abs(g_si).max()
+    assert scale > 0
+    np.testing.assert_allclose(g_sh, g_si, atol=1e-4 * scale)
+
+
 def test_tile_only_mesh_batch1(teapot):
     v, f = teapot
     renderer = nr.Renderer()

@@ -122,11 +122,14 @@ def test_latch_matches_to_map_oracle():
     np.testing.assert_array_equal(np.asarray(am), np.asarray(ref_am))
 
 
+@pytest.mark.parametrize("row_window,group_size", [(16, 2), (8, 8), (8, 16)])
 @pytest.mark.parametrize("draw_backside", [True, False])
-def test_windowed_mode_matches_binned_and_xla(draw_backside):
+def test_windowed_mode_matches_binned_and_xla(draw_backside, row_window, group_size):
     """The bin-free windowed kernel must be bit-identical to both the
     binned kernel and the XLA resolve, including latch planes, on a
-    random soup with degenerates, duplicates, and an odd face count."""
+    random soup with degenerates, duplicates, and an odd face count --
+    across the (row_window, group_size) tuning space the TPU scheduler
+    picks from (8-row windows halve the vector work of tiny faces)."""
     from neural_renderer_v2_pytorch_tpu.ops.maps import to_map
     from neural_renderer_v2_pytorch_tpu.ops.resolve_pallas import (
         resolve_gather_pallas,
@@ -143,7 +146,8 @@ def test_windowed_mode_matches_binned_and_xla(draw_backside):
 
     win = resolve_gather_pallas(
         FV, attrs, 128, draw_backside=draw_backside, interpret=True,
-        mode="windowed", face_chunk=32,
+        mode="windowed", face_chunk=32, row_window=row_window,
+        group_size=group_size,
     )
     binned = resolve_gather_pallas(
         FV, attrs, 128, draw_backside=draw_backside, interpret=True,
