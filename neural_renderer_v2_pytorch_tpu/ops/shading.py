@@ -97,8 +97,8 @@ def _bilinear_taps(x, y):
     return x0, y0, (wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _atlas_taps(flat, idx00, tw, kernel_bwd):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _atlas_taps(flat, idx00, tw, kernel_bwd, hw=None):
     """The four bilinear taps [bs, 4, 3, P] from a flattened atlas
     [bs, 3, T], anchored at ``idx00`` [bs, P] (the floor-corner texel id;
     the other taps are +1, +tw, +tw+1).
@@ -119,6 +119,14 @@ def _atlas_taps(flat, idx00, tw, kernel_bwd):
     diverge; in-bounds UVs (anything a loader or ``create_textures``
     produces) are unaffected because the uv-bbox-minus-eps clamp already
     keeps x in [x0, x1-eps] within the atlas.
+
+    ``hw``: the (H, W) image shape behind the pixel axis P, or None.
+    When given, the backward reorders pixels into (16, 128) SPATIAL
+    patches before the scatter (order-invariant): a row-major id strip
+    crosses the whole image width and so touches many UV islands, while
+    a compact patch sees one or two faces' texel rows -- the same
+    coherence lever that cut the pixel->face scatter 3.6x
+    (scatter_to_faces_pallas ``patch``).
     """
     return _atlas_taps_impl(flat, idx00, tw)
 
@@ -133,11 +141,32 @@ def _atlas_taps_impl(flat, idx00, tw):
     return jnp.stack(taps, axis=1)  # [bs, 4, 3, P]
 
 
-def _atlas_taps_fwd(flat, idx00, tw, kernel_bwd):
+def _atlas_taps_fwd(flat, idx00, tw, kernel_bwd, hw=None):
     return _atlas_taps_impl(flat, idx00, tw), (idx00, flat.shape[-1])
 
 
-def _atlas_taps_bwd(tw, kernel_bwd, residuals, g):
+def _patch_reorder(anchors, g, hw, ph=16, pw=128):
+    """Reorder the pixel axis of (anchors [bs, P], g [bs, D, P]) into
+    (ph, pw) spatial patches (padding with anchor -1 / zero grads, which
+    contribute nothing to the scatter)."""
+    bs, D = g.shape[:2]
+    H, W = hw
+    Hp, Wp = -(-H // ph) * ph, -(-W // pw) * pw
+    a = jnp.pad(
+        anchors.reshape(bs, H, W), ((0, 0), (0, Hp - H), (0, Wp - W)),
+        constant_values=-1,
+    )
+    a = a.reshape(bs, Hp // ph, ph, Wp // pw, pw).transpose(0, 1, 3, 2, 4)
+    gp = jnp.pad(
+        g.reshape(bs, D, H, W), ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W))
+    )
+    gp = gp.reshape(bs, D, Hp // ph, ph, Wp // pw, pw).transpose(
+        0, 1, 2, 4, 3, 5
+    )
+    return a.reshape(bs, Hp * Wp), gp.reshape(bs, D, Hp * Wp)
+
+
+def _atlas_taps_bwd(tw, kernel_bwd, hw, residuals, g):
     idx00, T = residuals
     bs = g.shape[0]
     P = g.shape[-1]
@@ -147,8 +176,11 @@ def _atlas_taps_bwd(tw, kernel_bwd, residuals, g):
 
         from .gather_resolve import _interpret
 
+        g12 = g.reshape(bs, 12, P)
+        if hw is not None and hw[0] >= 32 and hw[1] >= 128:
+            anchors, g12 = _patch_reorder(anchors, g12, hw)
         quad = scatter_rows_pallas(
-            g.reshape(bs, 12, P), anchors, T, interpret=_interpret()
+            g12, anchors, T, interpret=_interpret()
         )  # [bs, T, 12]
     else:
         def per(gb, ib):
@@ -210,7 +242,7 @@ def sample_textures_atlas_planes(
     flat = textures.reshape(bs, 3, th * tw)
     idx00 = (y0 * tw + x0).reshape(bs, H * W)
     taps4 = _atlas_taps(
-        flat, idx00, tw, not _interpret()
+        flat, idx00, tw, not _interpret(), (H, W)
     ).reshape(bs, 4, 3, H, W)
     images = sum(w[:, None] * taps4[:, i] for i, w in enumerate(tap_w))
     return jnp.where(fg[:, None], images, 0.0)

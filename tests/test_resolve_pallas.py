@@ -255,6 +255,30 @@ def test_atlas_taps_texture_grads_match_autodiff():
     )
 
 
+def test_atlas_taps_patch_reordered_grads_match():
+    """The (16, 128) spatial patch reorder of the quad-merged scatter
+    (hw given, odd image shape exercising the pad rows/cols) must produce
+    the same texture gradients as the unordered kernel path and XLA
+    autodiff -- the scatter is order-invariant up to f32 reassociation."""
+    from neural_renderer_v2_pytorch_tpu.ops.shading import _atlas_taps
+
+    rng = np.random.RandomState(16)
+    bs, th, tw = 2, 41, 67
+    H, W = 37, 150  # pads to (48, 256) patches
+    P, T = H * W, th * tw
+    flat = jnp.asarray(rng.rand(bs, 3, T).astype("float32"))
+    idx = jnp.asarray(rng.randint(0, T - tw - 2, size=(bs, P)).astype("int32"))
+    cotan = rng.randn(bs, 4, 3, P).astype("float32")
+
+    def loss(f, kernel, hw):
+        return jnp.sum(_atlas_taps(f, idx, tw, kernel, hw) * cotan)
+
+    g_ref = np.asarray(jax.grad(lambda f: loss(f, False, None))(flat))
+    g_pat = np.asarray(jax.grad(lambda f: loss(f, True, (H, W)))(flat))
+    scale = max(np.abs(g_ref).max(), 1e-6)
+    np.testing.assert_allclose(g_pat, g_ref, atol=1e-4 * scale)
+
+
 def test_gather_face_vertices_grad_matches_segment_sum():
     """The vertex-gather's MXU-scatter transpose (shared-vertex gradient
     accumulation) against the XLA segment-sum path, with heavy vertex
