@@ -199,7 +199,7 @@ def main():
     # face-count scaling at 512^2 (no AA)
     hp512 = RasterizeHyperparam(image_size=512, anti_aliasing=False)
     v, f = vertices, faces
-    for lvl in range(4):
+    for lvl in range(5):
         if lvl:
             v, f = subdivide(v, f)
         if args.quick and f.shape[0] > 50_000:
