@@ -67,6 +67,13 @@ _SLOT_STRIP = 4096
 _SLOT_CHUNK = 256
 _GATHER_STRIP = 8192
 _GATHER_CHUNK = 512
+# face-range twins (planar [bs, 3, 3, nf] path): a strip is fstrip FACES
+# (3 slots each), so fstrip = strip/3 keeps the per-strip vertex-id span
+# -- and hence the one-hot work -- equal to the face-major layout's
+_SLOT3_FSTRIP = 1408
+_SLOT3_CHUNK = 256
+_GATHER3_FSTRIP = 2816
+_GATHER3_CHUNK = 512
 
 
 # v5e cost-model constants for the one-hot-vs-XLA crossover, fitted to
@@ -86,23 +93,51 @@ def _onehot_wins(cnt, K, T, n_strips, xla_ns, n_slots):
 
 
 @functools.lru_cache(maxsize=16)
-def _slot_occupancy_cached(faces_bytes, nf, nv):
+def _slot_occupancy_cached(faces_bytes, nf, nv, k_major):
     """Host-side active-chunk lists for the face->vertex slot scatter
     AND forward gather (mesh connectivity is static in every real
     workload, so this runs numpy once per mesh and the lists become free
     trace constants).  Either direction is None when the exact host
     occupancy says its one-hot kernel would LOSE to the XLA row op
     (id spread grows with mesh size; at ~631K faces the gather crosses
-    back to XLA)."""
+    back to XLA).
+
+    ``k_major``: lists for the PLANAR path's face-range kernels
+    (``gather_faces3_pallas`` / ``scatter_slots3_pallas``, whose
+    [bs, 3, 3, nf] layout flattens k-major) instead of the flat
+    face-major slot kernels.  Occupancy lists are geometry- and
+    order-dependent; a mismatch silently drops contributions, so this
+    flag must track the caller's ``planar``.
+    """
     from .resolve_pallas import (
         slot_gather_occupancy,
         slot_scatter_occupancy,
+        slots3_occupancy,
     )
 
     slots = np.frombuffer(faces_bytes, np.int32)
     assert slots.size == nf * 3
     # keep NUMPY (jnp constants created inside a trace would leak as
     # tracers through this cache); consumers treat them as trace constants
+    if k_major:
+        faces = slots.reshape(nf, 3)
+        scatter = slots3_occupancy(
+            faces, nv, fstrip=_SLOT3_FSTRIP, chunk=_SLOT3_CHUNK
+        )
+        if not _onehot_wins(
+            scatter[0], _SLOT3_CHUNK, 3 * _SLOT3_FSTRIP,
+            scatter[0].shape[-1], _XLA_SCATTER_NS, slots.size,
+        ):
+            scatter = None
+        gather = slots3_occupancy(
+            faces, nv, fstrip=_GATHER3_FSTRIP, chunk=_GATHER3_CHUNK
+        )
+        if not _onehot_wins(
+            gather[0], _GATHER3_CHUNK, 3 * _GATHER3_FSTRIP,
+            gather[0].shape[-1], _XLA_GATHER_NS, slots.size,
+        ):
+            gather = None
+        return scatter, gather
     scatter = slot_scatter_occupancy(
         slots, nv, strip=_SLOT_STRIP, face_chunk=_SLOT_CHUNK
     )
@@ -122,43 +157,58 @@ def _slot_occupancy_cached(faces_bytes, nf, nv):
     return scatter, gather
 
 
-def slot_occupancy(faces, num_vertices):
+def slot_occupancy(faces, num_vertices, planar=False):
     """(scatter_lists, gather_lists) for :func:`gather_face_vertices` --
     each a (cnt, active) pair or None where XLA wins -- or None overall
-    when ``faces`` is traced (non-constant)."""
+    when ``faces`` is traced (non-constant).  ``planar`` must match the
+    later ``gather_face_vertices(..., planar=...)`` call (it fixes the
+    slot order the lists are built for)."""
     if isinstance(faces, jax.core.Tracer):
         return None
     f = np.asarray(faces, np.int32)
-    occ = _slot_occupancy_cached(f.tobytes(), f.shape[0], num_vertices)
+    occ = _slot_occupancy_cached(f.tobytes(), f.shape[0], num_vertices, planar)
     if occ == (None, None):
         return None
     return occ
 
 
-def _gfv_primal(vertices, face_indices, backend, occupancy):
+def _gfv_primal(vertices, face_indices, backend, occupancy, planar):
     gather_occ = None if occupancy is None else occupancy[1]
+    nf = face_indices.shape[0]
     if backend == "pallas" and gather_occ is not None:
-        from .resolve_pallas import gather_rows_pallas
-
         bs, nv = vertices.shape[:2]
-        nf = face_indices.shape[0]
-        slots = nf * 3
-        ids = jnp.broadcast_to(
-            face_indices.reshape(-1)[None], (bs, slots)
-        )
         occ = tuple(
             jnp.broadcast_to(o, (bs,) + o.shape[1:]) for o in gather_occ
+        )
+        if planar:
+            from .resolve_pallas import gather_faces3_pallas
+
+            ids3 = jnp.broadcast_to(face_indices.T[None], (bs, 3, nf))
+            return gather_faces3_pallas(
+                vertices, ids3, fstrip=_GATHER3_FSTRIP,
+                chunk=_GATHER3_CHUNK, occupancy=occ,
+                interpret=_interpret(),
+            )  # [bs, coord, k, nf]; bit-exact == jnp.take
+        from .resolve_pallas import gather_rows_pallas
+
+        ids = jnp.broadcast_to(
+            face_indices.reshape(-1)[None], (bs, nf * 3)
         )
         out = gather_rows_pallas(
             vertices, ids, strip=_GATHER_STRIP, chunk=_GATHER_CHUNK,
             occupancy=occ, interpret=_interpret(),
         )  # bit-exact == jnp.take (3-way bf16 split)
         return out.reshape(bs, nf, 3, 3)
-    return jnp.take(vertices, face_indices, axis=1)
+    out = jnp.take(vertices, face_indices, axis=1)  # [bs, nf, k, coord]
+    if planar:
+        out = out.transpose(0, 3, 2, 1)
+    return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def gather_face_vertices(vertices, face_indices, backend, occupancy=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 4))
+def gather_face_vertices(
+    vertices, face_indices, backend, occupancy=None, planar=False
+):
     """``vertices[:, face_indices]`` ([bs, nv, 3] -> [bs, nf, 3, 3]) with
     selectable forward-gather and shared-vertex-gradient-transpose
     backends.
@@ -173,20 +223,38 @@ def gather_face_vertices(vertices, face_indices, backend, occupancy=None):
     faces / 236K coherent vertices), the transpose through
     ``scatter_to_faces_pallas`` (1.7 vs 6.6 ms for XLA's segment-sum).
     Without occupancy (traced faces) both directions fall back to XLA.
+
+    ``planar``: return the coordinate-planar [bs, 3 (coord), 3 (vertex),
+    nf] layout instead -- what ``resolve_gather_pallas(planar_faces=
+    True)`` consumes, so the hot path never materializes the
+    [bs, nf, 3, 3] form (whose minor dims of 3 lane-pad 42x under TPU
+    tiling; measured ~2.6 ms of pure layout copies at 158K faces).  The
+    kernel directions then run as the FACE-RANGE one-hot ops
+    (``gather_faces3_pallas`` / ``scatter_slots3_pallas``): a flat
+    k-major slot strip would span 3x more faces -- and ~2.6x the active
+    vertex chunks (measured on the 158K-face teapot, flipping the
+    gather's cost model to XLA) -- than the face-major order at equal
+    width, so these strip over FACES and handle all three vertex slots
+    per program, keeping the one-hot work at face-major levels.
+    ``occupancy`` must then be built with ``slot_occupancy(...,
+    planar=True)`` (face-range geometry).
     """
-    return _gfv_primal(vertices, face_indices, backend, occupancy)
+    return _gfv_primal(vertices, face_indices, backend, occupancy, planar)
 
 
-def _gfv_fwd(vertices, face_indices, backend, occupancy=None):
-    out = _gfv_primal(vertices, face_indices, backend, occupancy)
+def _gfv_fwd(vertices, face_indices, backend, occupancy=None, planar=False):
+    out = _gfv_primal(vertices, face_indices, backend, occupancy, planar)
     return out, (face_indices, vertices.shape[1], occupancy)
 
 
-def _gfv_bwd(backend, residuals, g):
+def _gfv_bwd(backend, planar, residuals, g):
     face_indices, num_vertices, occupancy = residuals
-    bs, nf = g.shape[:2]
+    bs = g.shape[0]
+    nf = g.shape[-1] if planar else g.shape[1]
     slots = nf * 3
-    flat_idx = face_indices.reshape(-1)
+    flat_idx = (
+        face_indices.T.reshape(-1) if planar else face_indices.reshape(-1)
+    )
     scatter_occ = None if occupancy is None else occupancy[0]
     # with occupancy present, the per-direction None means the host cost
     # model picked XLA for that direction
@@ -194,24 +262,38 @@ def _gfv_bwd(backend, residuals, g):
         occupancy is None or scatter_occ is not None
     )
     if use_kernel:
-        from .resolve_pallas import scatter_to_faces_pallas
-
-        slot_map = jnp.broadcast_to(flat_idx[None], (bs, slots))
         occ = scatter_occ
         if occ is not None:
             # the slot map is batch-invariant; broadcast the host lists
             occ = tuple(
                 jnp.broadcast_to(o, (bs,) + o.shape[1:]) for o in occ
             )
-        g_vertices = scatter_to_faces_pallas(
-            g.reshape(bs, 1, slots, 3), slot_map, num_vertices,
-            strip=_SLOT_STRIP, face_chunk=_SLOT_CHUNK, patch=None,
-            occupancy=occ, interpret=_interpret(),
-        )
+        if planar:
+            from .resolve_pallas import scatter_slots3_pallas
+
+            nf_ = g.shape[-1]
+            ids3 = jnp.broadcast_to(face_indices.T[None], (bs, 3, nf_))
+            g_vertices = scatter_slots3_pallas(
+                g, ids3, num_vertices, fstrip=_SLOT3_FSTRIP,
+                chunk=_SLOT3_CHUNK, occupancy=occ, interpret=_interpret(),
+            )
+        else:
+            from .resolve_pallas import scatter_to_faces_pallas
+
+            slot_map = jnp.broadcast_to(flat_idx[None], (bs, slots))
+            g_vertices = scatter_to_faces_pallas(
+                g.reshape(bs, 1, slots, 3), slot_map, num_vertices,
+                strip=_SLOT_STRIP, face_chunk=_SLOT_CHUNK, patch=None,
+                occupancy=occ, interpret=_interpret(),
+            )
     else:
         def per_batch(gb):
+            flat_g = (
+                gb.transpose(1, 2, 0).reshape(slots, 3) if planar
+                else gb.reshape(slots, 3)
+            )
             return jax.ops.segment_sum(
-                gb.reshape(slots, 3), flat_idx, num_segments=num_vertices
+                flat_g, flat_idx, num_segments=num_vertices
             )
 
         g_vertices = jax.vmap(per_batch)(g)
@@ -232,7 +314,7 @@ gather_face_vertices.defvjp(_gfv_fwd, _gfv_bwd)
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9),
+    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10),
 )
 def resolve_and_gather(
     face_vertices,
@@ -245,11 +327,17 @@ def resolve_and_gather(
     backend,
     num_rows,
     latch_z=True,
+    planar_faces=False,
 ):
     """Returns (face_index_map, fvm_planar, attr_planes).
 
     Args:
-      face_vertices: [bs, nf, 3, 3] NDC face vertices (differentiable).
+      face_vertices: [bs, nf, 3, 3] NDC face vertices (differentiable),
+        or the coordinate-planar [bs, 3 (coord), 3 (vertex), nf] layout
+        when ``planar_faces`` (requires ``backend='pallas'``; see
+        :func:`gather_face_vertices` ``planar`` -- the hot path then
+        never materializes a minor-dim-3 array, and the backward's
+        vertex-coordinate cotangent comes back planar too).
       face_attrs: [bs, nf, A] auxiliary per-face attributes
         (differentiable), or None.
       row_start: first image row to render (int scalar; may be traced --
@@ -268,7 +356,7 @@ def resolve_and_gather(
     """
     return _forward(
         face_vertices, face_attrs, row_start, image_size, near, far,
-        draw_backside, backend, num_rows, latch_z,
+        draw_backside, backend, num_rows, latch_z, planar_faces,
     )
 
 
@@ -276,12 +364,7 @@ _XY_PLANES = (0, 1, 3, 4, 6, 7)
 
 
 def _forward(face_vertices, face_attrs, row_start, image_size, near, far,
-             draw_backside, backend, num_rows, latch_z):
-    bs, nf = face_vertices.shape[:2]
-    coords_src = (
-        face_vertices.reshape(bs, nf, 9) if latch_z
-        else face_vertices[..., :2].reshape(bs, nf, 6)
-    )
+             draw_backside, backend, num_rows, latch_z, planar_faces):
     if backend == "pallas":
         from .resolve_pallas import resolve_gather_pallas
 
@@ -296,8 +379,15 @@ def _forward(face_vertices, face_attrs, row_start, image_size, near, far,
             num_rows=num_rows,
             interpret=_interpret(),
             latch_z=latch_z,
+            planar_faces=planar_faces,
         )
     else:
+        assert not planar_faces, "planar_faces requires backend='pallas'"
+        bs, nf = face_vertices.shape[:2]
+        coords_src = (
+            face_vertices.reshape(bs, nf, 9) if latch_z
+            else face_vertices[..., :2].reshape(bs, nf, 6)
+        )
         fim = compute_face_index_map(
             jax.lax.stop_gradient(face_vertices),
             image_size, near, far, draw_backside,
@@ -321,18 +411,19 @@ def _forward(face_vertices, face_attrs, row_start, image_size, near, far,
 
 
 def _fwd(face_vertices, face_attrs, row_start, image_size, near, far,
-         draw_backside, backend, num_rows, latch_z):
+         draw_backside, backend, num_rows, latch_z, planar_faces):
     out = _forward(
         face_vertices, face_attrs, row_start, image_size, near, far,
-        draw_backside, backend, num_rows, latch_z,
+        draw_backside, backend, num_rows, latch_z, planar_faces,
     )
     fim = out[0]
-    residuals = (fim, face_vertices.shape[1])
+    nf = face_vertices.shape[-1] if planar_faces else face_vertices.shape[1]
+    residuals = (fim, nf)
     return out, residuals
 
 
 def _bwd(image_size, near, far, draw_backside, backend, num_rows, latch_z,
-         residuals, g):
+         planar_faces, residuals, g):
     fim, num_faces = residuals
     _, g_fvm, g_attr = g
     bs, H, W = fim.shape
@@ -348,13 +439,23 @@ def _bwd(image_size, near, far, draw_backside, backend, num_rows, latch_z,
 
         # one fused kernel call: coords and attrs share the one-hot
         # matmul; the planar cotangents [bs, D, H, W] are already in the
-        # strip-major layout the kernel wants
+        # strip-major layout the kernel wants.  With planar faces the
+        # per-face result stays in the accumulator's native [bs, D, nf]
+        # layout (plane p = 3k + coord reshapes to [bs, k, coord, nf]
+        # for free; only a cheap major-dim swap to coord-major remains).
         g_all = jnp.concatenate([g_fvm, g_attr], 1) if has_attr else g_fvm
         per_face = scatter_to_faces_pallas(
-            g_all, fim, num_faces, planar=True, interpret=_interpret()
+            g_all, fim, num_faces, planar=True, interpret=_interpret(),
+            planar_out=planar_faces,
         )
-        g_coords = per_face[..., :C]
-        g_attrs = per_face[..., C:] if has_attr else None
+        if planar_faces:
+            g_coords = per_face[:, :C]
+            g_attrs = (
+                per_face[:, C:].transpose(0, 2, 1) if has_attr else None
+            )
+        else:
+            g_coords = per_face[..., :C]
+            g_attrs = per_face[..., C:] if has_attr else None
     else:
         g_coords = _scatter_to_faces(
             g_fvm.transpose(0, 2, 3, 1), fim, num_faces
@@ -363,7 +464,17 @@ def _bwd(image_size, near, far, draw_backside, backend, num_rows, latch_z,
             _scatter_to_faces(g_attr.transpose(0, 2, 3, 1), fim, num_faces)
             if has_attr else None
         )
-    if latch_z:
+    if planar_faces:
+        # planes p = 3k + coord (xy-latch: 2k + coord, pad z back)
+        if latch_z:
+            gk = g_coords.reshape(bs, 3, 3, num_faces)
+        else:
+            gk = jnp.pad(
+                g_coords.reshape(bs, 3, 2, num_faces),
+                ((0, 0), (0, 0), (0, 1), (0, 0)),
+            )
+        g_faces = gk.transpose(0, 2, 1, 3)  # [bs, coord, k, nf]
+    elif latch_z:
         g_faces = g_coords.reshape(bs, num_faces, 3, 3)
     else:
         g_faces = jnp.pad(

@@ -93,7 +93,17 @@ class RasterizeParam:
     # gradient slot scatter (gather_resolve.slot_occupancy); filled in
     # automatically by the public entry points when the face array is a
     # compile-time constant.  None -> XLA segment-sum transpose.
+    # Must be built with slot_occupancy(..., planar=True) (k-major slot
+    # order): the single-device pipeline consumes it through the
+    # coordinate-planar gather.
     slot_occupancy: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+
+
+# Ablation/debug switch for the coordinate-planar face-vertex hot path
+# (see compute_channel_maps).  Flipping it mid-process requires clearing
+# the _jitted_core cache AND building occupancy with the matching
+# slot_occupancy(..., planar=...) order.
+_PLANAR_HOT_PATH = True
 
 
 def _resolve_backend(backend):
@@ -155,10 +165,19 @@ def compute_channel_maps(
     occ = params.slot_occupancy
     if occ is not None and backend != "pallas":
         occ = None
+    # coordinate-planar face vertices [bs, 3, 3, nf] whenever the fused
+    # Pallas resolve is the consumer: the [bs, nf, 3, 3] form's minor
+    # dims of 3 lane-pad 42x under TPU tiling -- keeping the gather ->
+    # constants -> kernel-chunk chain planar deletes ~2.6 ms of pure
+    # layout copies at 512^2 / 158K faces.  NOTE: params.slot_occupancy
+    # must then be k-major (slot_occupancy(..., planar=True) -- _run
+    # matches this choice).
+    planar = backend == "pallas" and face_axis is None and _PLANAR_HOT_PATH
     face_vertices = gather_face_vertices(
-        vertices, face_indices, "pallas" if occ is not None else "xla", occ
+        vertices, face_indices, "pallas" if occ is not None else "xla", occ,
+        planar,
     )
-    nf = face_vertices.shape[1]
+    nf = face_vertices.shape[-1] if planar else face_vertices.shape[1]
 
     faces_textures = None
     if hp.draw_rgb:
@@ -167,7 +186,10 @@ def compute_channel_maps(
         )  # [bs, nf, 3, 2]
     normals = None
     if hp.draw_rgb and params.lights is not None:
-        normals = shading.face_vertex_normals(vertices, face_indices, face_vertices)
+        fv_std = (
+            face_vertices.transpose(0, 3, 2, 1) if planar else face_vertices
+        )
+        normals = shading.face_vertex_normals(vertices, face_indices, fv_std)
     texel_attrs = None
     if hp.draw_rgb and params.texture_size is not None:
         texel_attrs = shading.face_texel_attrs(
@@ -196,7 +218,7 @@ def compute_channel_maps(
         latch_z = hp.draw_rgb or hp.draw_depth
         face_index_map, fvm_planar, attr_planes = resolve_and_gather(
             face_vertices, face_attrs, row_start, render_size, hp.near,
-            hp.far, hp.draw_backside, backend, num_rows, latch_z,
+            hp.far, hp.draw_backside, backend, num_rows, latch_z, planar,
         )  # fvm_planar: [bs, 9, H, W]; attr_planes: [bs, A, H, W]
         uv_planes = None
         normal_vertex_planes = None
@@ -406,7 +428,11 @@ def _run(vertices, faces, params, hyperparams):
     ) == "pallas":
         from .gather_resolve import slot_occupancy
 
-        occ = slot_occupancy(faces, np.shape(vertices)[1])
+        # this single-device entry consumes the occupancy through the
+        # coordinate-planar gather (k-major slots) when the hot path is on
+        occ = slot_occupancy(
+            faces, np.shape(vertices)[1], planar=_PLANAR_HOT_PATH
+        )
         if occ is not None:
             params = params.replace(slot_occupancy=occ)
     vertices = jnp.asarray(vertices, dtype=jnp.float32)

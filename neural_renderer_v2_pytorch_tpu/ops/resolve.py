@@ -95,6 +95,42 @@ def face_constants(face_vertices):
     )
 
 
+def face_constants_planar(fvp):
+    """:func:`face_constants` for coordinate-planar face vertices.
+
+    ``fvp`` is [bs, 3 (coord x/y/z), 3 (vertex 0/1/2), nf] -- the layout
+    the one-hot row gather emits natively (k-major slots reshape to it as
+    a free bitcast) -- and the result is [bs, 17, nf], ready for the
+    Pallas chunk layout with one cheap chunk-major transpose instead of
+    materializing [bs, nf, 3, 3] / [bs, nf, 17] (whose minor dims of 3/17
+    lane-pad to 128 under TPU tiling: 42x HBM blowup at 158K faces, the
+    dominant term of the gather->resolve interface).
+
+    Bit-exact twin of :func:`face_constants`: identical expressions in
+    identical order on identical values, only the array layout differs.
+    """
+    x0, y0, z0 = fvp[:, 0, 0], fvp[:, 1, 0], fvp[:, 2, 0]
+    x1, y1, z1 = fvp[:, 0, 1], fvp[:, 1, 1], fvp[:, 2, 1]
+    x2, y2, z2 = fvp[:, 0, 2], fvp[:, 1, 2], fvp[:, 2, 2]
+    C0 = x1 * y2 - x2 * y1
+    C1 = x2 * y0 - x0 * y2
+    C2 = x0 * y1 - x1 * y0
+    return jnp.stack(
+        (
+            x2 - x1, y1 - y2, C0,
+            x0 - x2, y2 - y0, C1,
+            x1 - x0, y0 - y1, C2,
+            1.0 / z0, 1.0 / z1, 1.0 / z2,
+            C0 + C1 + C2,
+            jnp.minimum(jnp.minimum(x0, x1), x2),
+            jnp.maximum(jnp.maximum(x0, x1), x2),
+            jnp.minimum(jnp.minimum(y0, y1), y2),
+            jnp.maximum(jnp.maximum(y0, y1), y2),
+        ),
+        axis=1,
+    )
+
+
 def face_backside(coef):
     """Backface predicate from the edge coefficients.
 

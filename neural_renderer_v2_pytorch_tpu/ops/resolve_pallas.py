@@ -73,6 +73,7 @@ from .resolve import (
     face_backside,
     face_candidate,
     face_constants,
+    face_constants_planar,
 )
 
 
@@ -336,6 +337,7 @@ def _run_windowed(
     row_start=0,
     num_rows=None,
     coords_dim=9,
+    planar_faces=False,
 ):
     """Driver for the bin-free windowed kernel: reshape faces into chunks
     (no binning, no gathers) -> pallas_call.  Same return contract as
@@ -344,8 +346,18 @@ def _run_windowed(
     Arbitrary sizes run on a padded canvas (rows to 8, width to 128 --
     the kernel's NDC mapping still uses ``image_size``) and the outputs
     are cropped, so no size falls back off this kernel.
+
+    ``planar_faces``: ``face_vertices`` is coordinate-planar
+    [bs, 3 (coord), 3 (vertex), nf] (the row gather's native layout) --
+    the per-face constants and coordinate chunks are then built without
+    ever materializing [bs, nf, 3, 3] (whose minor dims lane-pad 42x
+    under TPU tiling; measured ~2.6 ms of pure layout copies at 158K
+    faces).  Kernel inputs are bit-identical either way.
     """
-    bs, nf = face_vertices.shape[:2]
+    if planar_faces:
+        bs, nf = face_vertices.shape[0], face_vertices.shape[-1]
+    else:
+        bs, nf = face_vertices.shape[:2]
     if num_rows is None:
         num_rows = image_size
     out_rows, out_cols = num_rows, image_size
@@ -356,7 +368,6 @@ def _run_windowed(
     row_window = min(row_window, num_rows)
     col_window = min(col_window, plane_w)
 
-    consts = face_constants(face_vertices)  # [bs, nf, 17]
     pad = (-nf) % face_chunk
     nf_p = nf + pad
     n_chunks = nf_p // face_chunk
@@ -366,9 +377,19 @@ def _run_windowed(
         g = jnp.pad(per_face, ((0, 0), (0, pad), (0, 0)))
         return g.reshape(bs, n_chunks, face_chunk, d).transpose(0, 1, 3, 2)
 
+    def chunked_planar(per_face):  # [bs, d, nf] -> [bs, n_chunks, d, K]
+        d = per_face.shape[1]
+        g = jnp.pad(per_face, ((0, 0), (0, 0), (0, pad)))
+        return g.reshape(bs, d, n_chunks, face_chunk).transpose(0, 2, 1, 3)
+
+    if planar_faces:
+        consts_ch = chunked_planar(face_constants_planar(face_vertices))
+    else:
+        consts_ch = chunked(face_constants(face_vertices))  # [bs, nf, 17]
+
     rs_arr = jnp.asarray(row_start, jnp.int32).reshape(1)
     nf_arr = jnp.full((1,), nf, jnp.int32)
-    inputs = [rs_arr, nf_arr, chunked(consts)]
+    inputs = [rs_arr, nf_arr, consts_ch]
 
     def smem1(shape):
         return pl.BlockSpec(shape, lambda b, c: (0,) * len(shape),
@@ -382,11 +403,17 @@ def _run_windowed(
 
     in_specs = [smem1((1,)), smem1((1,)), chunk_spec(17)]
     if latch:
-        coords_src = (
-            face_vertices.reshape(bs, nf, 9) if coords_dim == 9
-            else face_vertices[..., :2].reshape(bs, nf, 6)
-        )
-        inputs.append(chunked(coords_src))
+        if planar_faces:
+            # plane order (x0,y0[,z0],x1,...): vertex-major of coordinate
+            fvp = face_vertices if coords_dim == 9 else face_vertices[:, :2]
+            coords_src = fvp.transpose(0, 2, 1, 3).reshape(bs, coords_dim, nf)
+            inputs.append(chunked_planar(coords_src))
+        else:
+            coords_src = (
+                face_vertices.reshape(bs, nf, 9) if coords_dim == 9
+                else face_vertices[..., :2].reshape(bs, nf, 6)
+            )
+            inputs.append(chunked(coords_src))
         in_specs.append(chunk_spec(coords_dim))
     if num_attrs:
         inputs.append(chunked(face_attrs))
@@ -943,7 +970,7 @@ def _pick_mode(mode, image_size, num_rows, latch, num_attrs):
     static_argnames=(
         "image_size", "near", "far", "draw_backside", "face_chunk", "tile",
         "row_window", "interpret", "num_rows", "mode", "group_size",
-        "latch_z",
+        "latch_z", "planar_faces",
     ),
 )
 def resolve_gather_pallas(
@@ -962,11 +989,15 @@ def resolve_gather_pallas(
     mode="auto",
     group_size=None,
     latch_z=True,
+    planar_faces=False,
 ):
     """Fused z-resolve + winner-attribute gather (forward only).
 
     Args:
-      face_vertices: [bs, nf, 3, 3] float32 NDC face vertices.
+      face_vertices: [bs, nf, 3, 3] float32 NDC face vertices, or the
+        coordinate-planar [bs, 3, 3, nf] layout when ``planar_faces``
+        (see :func:`_run_windowed` -- avoids the lane-padded [nf, 3, 3]
+        materialization; outputs are bit-identical).
       face_attrs: [bs, nf, A] float32 auxiliary per-face attributes to
         latch for the winning face (e.g. flattened UV triangles), or None.
       row_start/num_rows: optional row window (tile-sharded rendering);
@@ -986,13 +1017,14 @@ def resolve_gather_pallas(
     """
     num_attrs = 0 if face_attrs is None else face_attrs.shape[-1]
     coords_dim = 9 if latch_z else 6
+    nf = face_vertices.shape[-1] if planar_faces else face_vertices.shape[1]
     if group_size is None:
         # tuned on v5e at 512^2: tiny faces (large meshes) amortize the
         # per-group scalar bookkeeping over 8 faces when the latch is
         # light (xy-only at 158K faces: G=8 11.4 ms, G=4 13.0, G=2 17.5;
         # G=16 12.1 -- union-window growth wins past 8); heavy latches
         # and big faces prefer G=2
-        group_size = 8 if (not latch_z and face_vertices.shape[1] >= 16384) else 2
+        group_size = 8 if (not latch_z and nf >= 16384) else 2
     if tile is not None and mode == "auto":
         mode = "binned"  # an explicit tile pins the binned kernel
     if _pick_mode(mode, image_size, num_rows, True, num_attrs) == "windowed":
@@ -1000,9 +1032,13 @@ def resolve_gather_pallas(
             face_vertices, face_attrs, image_size, near, far, draw_backside,
             face_chunk, row_window, 128, True, interpret,
             group_size=group_size, row_start=row_start, num_rows=num_rows,
-            coords_dim=coords_dim,
+            coords_dim=coords_dim, planar_faces=planar_faces,
         )
     else:
+        if planar_faces:
+            # the binned prepass consumes [bs, nf, 3, 3]; images large
+            # enough to need binning dwarf the one-time layout conversion
+            face_vertices = face_vertices.transpose(0, 3, 2, 1)
         index, _, coords, attr_planes = _run_binned(
             face_vertices, face_attrs, image_size, near, far, draw_backside,
             face_chunk, tile, row_window, True, interpret,
@@ -1245,6 +1281,7 @@ def slot_scatter_occupancy(ids, num_rows_out, strip=2048, face_chunk=128):
     jax.jit,
     static_argnames=(
         "num_faces", "strip", "face_chunk", "interpret", "planar", "patch",
+        "planar_out",
     ),
 )
 def scatter_to_faces_pallas(
@@ -1257,10 +1294,15 @@ def scatter_to_faces_pallas(
     planar=False,
     patch=(16, 128),
     occupancy=None,
+    planar_out=False,
 ):
     """Pixel grads -> [bs, num_faces, D] per-face grads.  ``grad_map`` is
     [bs, H, W, D], or [bs, D, H, W] when ``planar`` (the pipeline's
     layout -- cheaper: the strip reshape stays plane-major).
+
+    ``planar_out``: return [bs, D, num_faces] -- the kernel accumulator's
+    NATIVE layout (zero relayout; the [bs, num_faces, D] form pays a
+    minor-dim-D transpose that TPU tiling pads 128/D-fold).
 
     Pallas TPU replacement for the XLA segment-sum in
     ``gather_resolve._scatter_to_faces`` (the backward of the fused
@@ -1388,6 +1430,8 @@ def scatter_to_faces_pallas(
         out_shape=jax.ShapeDtypeStruct((bs, D, nf_p), jnp.float32),
         interpret=interpret,
     )(cnt.reshape(bs, 1, n_strips), active, fim_flat, grad_flat)
+    if planar_out:
+        return out[:, :, :num_faces]
     return out[:, :, :num_faces].transpose(0, 2, 1)
 
 
@@ -1593,13 +1637,14 @@ def _gather_kernel(
                  # ``use_list``
     ids_ref,     # [1, 1, 1, T] int32: row ids to gather, one strip
     table_ref,   # [1, D, n_p] f32: THE WHOLE table, VMEM-resident
-    out_ref,     # [1, 1, D, T] f32
+    out_ref,     # [1, 1, D, T] f32 ([1, D, T] when ``planar_out``)
     *,
     strip,
     chunk,
     n_chunks,
     D,
     use_list,
+    planar_out=False,
 ):
     """Row gather as predicated one-hot MXU matmuls (BIT-exact).
 
@@ -1624,6 +1669,12 @@ def _gather_kernel(
     out_ref[...] = jnp.zeros_like(out_ref)
     ids = ids_ref[0, 0]                      # [1, T]
 
+    def store(acc):  # [D, T]
+        if planar_out:
+            out_ref[0] += acc
+        else:
+            out_ref[0, 0] += acc
+
     def accumulate(c):
         rows = c * chunk + jax.lax.broadcasted_iota(
             jnp.int32, (chunk, 1), 0
@@ -1643,7 +1694,7 @@ def _gather_kernel(
                 preferred_element_type=jnp.float32,
             )
 
-        out_ref[0, 0] += dot(hi) + dot(mid) + dot(lo)
+        store(dot(hi) + dot(mid) + dot(lo))
 
     if use_list:
         def chunk_body(i, _):
@@ -1737,13 +1788,20 @@ def slot_gather_occupancy(ids, n, strip=2048, chunk=512):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("strip", "chunk", "interpret"),
+    static_argnames=("strip", "chunk", "interpret", "planar_out"),
 )
 def gather_rows_pallas(
-    table, ids, strip=2048, chunk=512, interpret=False, occupancy=None
+    table, ids, strip=2048, chunk=512, interpret=False, occupancy=None,
+    planar_out=False,
 ):
     """``table[b, ids[b]]``: [bs, n, D] x [bs, P] int32 -> [bs, P, D],
     bit-exact, via predicated one-hot MXU matmuls (``_gather_kernel``).
+
+    ``planar_out``: return [bs, D, P] instead (the kernel's NATIVE
+    layout -- the [bs, P, D] form costs a minor-dim-D relayout that TPU
+    tiling pads 128/D-fold; callers chaining into planar consumers, e.g.
+    the face-vertex gather feeding ``resolve_gather_pallas``
+    ``planar_faces``, skip it entirely).
 
     TPU replacement for XLA's row gather, which executes serially
     (~16 ns/row: 7.5 ms for the 473K-row face-vertex gather at 158K
@@ -1789,8 +1847,19 @@ def gather_rows_pallas(
     n_list = active.shape[-1]
     kernel = functools.partial(
         _gather_kernel, strip=strip, chunk=chunk, n_chunks=n_chunks, D=D,
-        use_list=use_list,
+        use_list=use_list, planar_out=planar_out,
     )
+    if planar_out:
+        # flat [bs, D, n_strips*strip]: a (1, D, strip) block is legal (D
+        # spans its whole dim) where a 4-D (1, D, 1, strip) block is not
+        # (second-minor block dim 1 fails the /8 rule)
+        out_specs = pl.BlockSpec((1, D, strip), lambda b, t: (b, 0, t))
+        out_shape = jax.ShapeDtypeStruct(
+            (bs, D, n_strips * strip), jnp.float32
+        )
+    else:
+        out_specs = pl.BlockSpec((1, 1, D, strip), lambda b, t: (b, t, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((bs, n_strips, D, strip), jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid=(bs, n_strips),
@@ -1806,11 +1875,368 @@ def gather_rows_pallas(
             pl.BlockSpec((1, 1, 1, strip), lambda b, t: (b, t, 0, 0)),
             pl.BlockSpec((1, D, n_p), lambda b, t: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, D, strip), lambda b, t: (b, t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bs, n_strips, D, strip), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(cnt.reshape(bs, 1, n_strips), active, ids_p.reshape(bs, n_strips, 1, strip), table_pl)
+    if planar_out:
+        return out[:, :, :P]
     return out.transpose(0, 1, 3, 2).reshape(bs, n_strips * strip, D)[:, :P]
+
+
+# ---------------------------------------------------------------------------
+# Face-range slot ops: the planar [bs, 3, 3, nf] twins of
+# gather_rows_pallas / scatter_to_faces_pallas for the face->vertex slot
+# maps.  A FLAT k-major slot strip covers 3x more faces than a face-major
+# one at equal width, so its vertex-id span (and one-hot work) grows ~3x
+# (measured: 539 -> 1387 active chunks on the 158K-face teapot, flipping
+# the gather's cost model back to XLA).  Here a strip is a range of FACES
+# and each program handles all three vertex slots of that range with
+# per-k one-hot dots -- face-major locality, planar layout, zero
+# relayouts on either side.
+
+
+def _slots3_geometry(nf, n, fstrip, chunk):
+    """Size tuning shared by the face-range slot kernels and their host
+    occupancy builder: returns (fstrip, chunk, pad_f, n_strips, pad_n,
+    n_p, n_chunks, use_list).  Pure python on static ints."""
+    fstrip = min(fstrip, max(128, -(-nf // 128) * 128))
+    fstrip = -(-fstrip // 128) * 128
+    chunk = max(128, (chunk + 127) // 128 * 128)
+    # each per-k [chunk, fstrip] bf16 one-hot lives on the scoped stack
+    ONE_HOT_BUDGET = 8 * 1024 * 1024
+    while -(-nf // fstrip) > 1024 and chunk * fstrip * 2 < ONE_HOT_BUDGET:
+        fstrip *= 2
+    while chunk * fstrip * 2 > ONE_HOT_BUDGET and chunk > 128:
+        chunk //= 2
+    while chunk * fstrip * 2 > ONE_HOT_BUDGET and fstrip > 128:
+        fstrip //= 2
+    pad_f = (-nf) % fstrip
+    n_strips = (nf + pad_f) // fstrip
+    while (
+        n_strips * (-(-n // chunk)) * 4 > _SMEM_BUDGET
+        and chunk < n
+        and chunk * 2 * fstrip * 2 <= ONE_HOT_BUDGET
+    ):
+        chunk *= 2
+    pad_n = (-n) % chunk
+    n_p = n + pad_n
+    n_chunks = n_p // chunk
+    use_list = n_strips * n_chunks * 4 <= _SMEM_BUDGET
+    return fstrip, chunk, pad_f, n_strips, pad_n, n_p, n_chunks, use_list
+
+
+def slots3_occupancy(faces, n, fstrip=2816, chunk=512):
+    """Host-side (numpy) active-chunk lists for the face-range slot
+    kernels: ``faces`` is the [nf, 3] int connectivity; a strip's
+    occupancy is the union over its face range's three vertex slots.
+    fstrip/chunk must match the kernel call (geometry is replayed)."""
+    import numpy as _np
+
+    faces = _np.asarray(faces)
+    nf = faces.shape[0]
+    fstrip, chunk, pad_f, n_strips, pad_n, n_p, n_chunks, use_list = (
+        _slots3_geometry(nf, n, fstrip, chunk)
+    )
+    ids = _np.concatenate(
+        [faces, _np.full((pad_f, 3), -1, faces.dtype)], axis=0
+    )
+    chunk_of = _np.where(ids < 0, -1, ids // chunk)
+    chunk_of = chunk_of.reshape(n_strips, fstrip * 3)
+    occ = (
+        chunk_of[..., None] == _np.arange(n_chunks, dtype=_np.int64)
+    ).any(axis=1)[None]  # [1, n_strips, n_chunks]
+    cnt = occ.sum(axis=-1).astype(_np.int32)
+    if use_list:
+        active = _np.argsort(~occ, axis=-1, kind="stable").astype(_np.int32)
+    else:
+        active = _bitpack_mask_np(occ)
+    return cnt, active
+
+
+def _gather3_kernel(
+    cnt_ref,     # [1, 1, n_strips] int32 SMEM
+    list_ref,    # [1, n_strips, n_chunks] int32 SMEM (or bitpacked words)
+    ids_ref,     # [1, 3, F] int32: the strip's face range, all 3 slots
+    table_ref,   # [1, D, n_p] f32: THE WHOLE table, VMEM-resident
+    out_ref,     # [1, D, 3, F] f32
+    *,
+    chunk,
+    n_chunks,
+    D,
+    use_list,
+):
+    """Face-range one-hot row gather: out[:, k, f] = table[:, ids[k, f]].
+
+    Same 3-way bf16 split (bit-exact) as ``_gather_kernel``; the only
+    difference is the strip structure -- one [chunk, F] one-hot per
+    vertex slot k over a shared face range, so the active-chunk list
+    stays as small as the face-major layout's.
+    """
+    t = pl.program_id(1)
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def accumulate(c):
+        rows = c * chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (chunk, 1), 0
+        )
+        col = pl.multiple_of(c * chunk, 128)
+        tbl = table_ref[0, :, pl.ds(col, chunk)]       # [D, K] f32
+        hi = tbl.astype(jnp.bfloat16)
+        r1 = tbl - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        for k in range(3):
+            one_hot = (ids_ref[0, k:k + 1, :] == rows).astype(jnp.bfloat16)
+
+            def dot(a, oh=one_hot):  # [D, K] x [K, F] -> [D, F]
+                return jax.lax.dot_general(
+                    a, oh,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            out_ref[0, :, k] += dot(hi) + dot(mid) + dot(lo)
+
+    if use_list:
+        def chunk_body(i, _):
+            accumulate(list_ref[0, t, i])
+            return 0
+
+        jax.lax.fori_loop(0, cnt_ref[0, 0, t], chunk_body, 0)
+    else:
+        n_words = -(-n_chunks // 32)
+
+        def word_body(w, _):
+            word = list_ref[0, t, w]
+
+            @pl.when(word != 0)
+            def _word_active():
+                def bit_body(b, _):
+                    @pl.when(((word >> b) & 1) != 0)
+                    def _acc():
+                        accumulate(w * 32 + b)
+                    return 0
+
+                jax.lax.fori_loop(0, 32, bit_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_words, word_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fstrip", "chunk", "interpret"),
+)
+def gather_faces3_pallas(
+    table, ids3, fstrip=2816, chunk=512, interpret=False, occupancy=None
+):
+    """Planar face-vertex gather: [bs, n, D] x [bs, 3, nf] int32 ->
+    [bs, D, 3, nf] with out[b, :, k, f] = table[b, ids3[b, k, f]].
+    Bit-exact (3-way bf16 split); see ``_gather3_kernel``.
+
+    ``occupancy``: optional (cnt, active) from :func:`slots3_occupancy`
+    (broadcast to bs), skipping the on-device occupancy build.
+    """
+    bs, n, D = table.shape
+    nf = ids3.shape[-1]
+    fstrip, chunk, pad_f, n_strips, pad_n, n_p, n_chunks, use_list = (
+        _slots3_geometry(nf, n, fstrip, chunk)
+    )
+    ids_p = jnp.pad(ids3.reshape(bs, 3, nf), ((0, 0), (0, 0), (0, pad_f)))
+    table_pl = jnp.pad(
+        table.transpose(0, 2, 1), ((0, 0), (0, 0), (0, pad_n))
+    )  # [bs, D, n_p]
+
+    if occupancy is not None:
+        cnt, active = occupancy
+        w = n_chunks if use_list else -(-n_chunks // 32)
+        assert active.shape == (bs, n_strips, w), (
+            active.shape, (bs, n_strips, w),
+        )
+    else:
+        chunk_of = ids_p.reshape(bs, 3, n_strips, fstrip).transpose(
+            0, 2, 1, 3
+        ).reshape(bs, n_strips, 3 * fstrip) // chunk
+        occ = jnp.any(
+            chunk_of[..., None] == jnp.arange(n_chunks, dtype=jnp.int32),
+            axis=2,
+        )
+        cnt = jnp.sum(occ, axis=-1).astype(jnp.int32)
+        if use_list:
+            active = jnp.argsort(~occ, axis=-1, stable=True).astype(jnp.int32)
+        else:
+            active = _bitpack_mask(occ)
+
+    n_list = active.shape[-1]
+    kernel = functools.partial(
+        _gather3_kernel, chunk=chunk, n_chunks=n_chunks, D=D,
+        use_list=use_list,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bs, n_strips),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, n_strips), lambda b, t: (b, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_strips, n_list), lambda b, t: (b, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, 3, fstrip), lambda b, t: (b, 0, t)),
+            pl.BlockSpec((1, D, n_p), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, D, 3, fstrip), lambda b, t: (b, 0, 0, t)),
+        out_shape=jax.ShapeDtypeStruct(
+            (bs, D, 3, nf + pad_f), jnp.float32
+        ),
+        interpret=interpret,
+    )(cnt.reshape(bs, 1, n_strips), active, ids_p, table_pl)
+    return out[..., :nf] if pad_f else out
+
+
+def _scatter3_kernel(
+    cnt_ref,     # [1, 1, n_strips] int32 SMEM
+    list_ref,    # [1, n_strips, n_chunks] int32 SMEM (or bitpacked words)
+    ids_ref,     # [1, 3, F] int32: the strip's face range, all 3 slots
+    g_ref,       # [1, D, 3, F] f32: planar slot gradients
+    out_ref,     # [1, D, n_p] f32: THE WHOLE accumulator, VMEM-resident
+    *,
+    chunk,
+    n_chunks,
+    D,
+    use_list,
+):
+    """Face-range slot scatter-add: out[:, ids[k, f]] += g[:, k, f].
+
+    The transpose of ``_gather3_kernel``; bf16 hi+lo gradient split as in
+    ``_scatter_kernel`` (~2^-17 rel).
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def accumulate(c):
+        rows = c * chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (chunk, 1), 0
+        )
+        acc = jnp.zeros((D, chunk), jnp.float32)
+        for k in range(3):
+            one_hot = (ids_ref[0, k:k + 1, :] == rows).astype(jnp.bfloat16)
+            g = g_ref[0, :, k]                   # [D, F] f32
+            g_hi = g.astype(jnp.bfloat16)
+            g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def dot_t(a, oh=one_hot):  # [D, F] x [K, F] -> [D, K]
+                return jax.lax.dot_general(
+                    a, oh,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            acc += dot_t(g_hi) + dot_t(g_lo)
+        col = pl.multiple_of(c * chunk, 128)
+        out_ref[0, :, pl.ds(col, chunk)] += acc
+
+    if use_list:
+        def chunk_body(i, _):
+            accumulate(list_ref[0, t, i])
+            return 0
+
+        jax.lax.fori_loop(0, cnt_ref[0, 0, t], chunk_body, 0)
+    else:
+        n_words = -(-n_chunks // 32)
+
+        def word_body(w, _):
+            word = list_ref[0, t, w]
+
+            @pl.when(word != 0)
+            def _word_active():
+                def bit_body(b, _):
+                    @pl.when(((word >> b) & 1) != 0)
+                    def _acc():
+                        accumulate(w * 32 + b)
+                    return 0
+
+                jax.lax.fori_loop(0, 32, bit_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_words, word_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "fstrip", "chunk", "interpret"),
+)
+def scatter_slots3_pallas(
+    g3, ids3, n, fstrip=1408, chunk=256, interpret=False, occupancy=None
+):
+    """Planar slot scatter: [bs, D, 3, nf] x [bs, 3, nf] int32 ->
+    [bs, n, D] with out[b, ids3[b, k, f]] += g3[b, :, k, f] (ids < 0
+    match nothing).  See ``_scatter3_kernel``.
+    """
+    bs, D = g3.shape[:2]
+    nf = g3.shape[-1]
+    fstrip, chunk, pad_f, n_strips, pad_n, n_p, n_chunks, use_list = (
+        _slots3_geometry(nf, n, fstrip, chunk)
+    )
+    ids_p = jnp.pad(
+        ids3.reshape(bs, 3, nf), ((0, 0), (0, 0), (0, pad_f)),
+        constant_values=-1,
+    )
+    g_p = jnp.pad(g3, ((0, 0), (0, 0), (0, 0), (0, pad_f)))
+
+    if occupancy is not None:
+        cnt, active = occupancy
+        w = n_chunks if use_list else -(-n_chunks // 32)
+        assert active.shape == (bs, n_strips, w), (
+            active.shape, (bs, n_strips, w),
+        )
+    else:
+        chunk_of = jnp.where(ids_p < 0, -1, ids_p // chunk)
+        chunk_of = chunk_of.reshape(bs, 3, n_strips, fstrip).transpose(
+            0, 2, 1, 3
+        ).reshape(bs, n_strips, 3 * fstrip)
+        occ = jnp.any(
+            chunk_of[..., None] == jnp.arange(n_chunks, dtype=jnp.int32),
+            axis=2,
+        )
+        cnt = jnp.sum(occ, axis=-1).astype(jnp.int32)
+        if use_list:
+            active = jnp.argsort(~occ, axis=-1, stable=True).astype(jnp.int32)
+        else:
+            active = _bitpack_mask(occ)
+
+    n_list = active.shape[-1]
+    kernel = functools.partial(
+        _scatter3_kernel, chunk=chunk, n_chunks=n_chunks, D=D,
+        use_list=use_list,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bs, n_strips),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, n_strips), lambda b, t: (b, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_strips, n_list), lambda b, t: (b, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, 3, fstrip), lambda b, t: (b, 0, t)),
+            pl.BlockSpec((1, D, 3, fstrip), lambda b, t: (b, 0, 0, t)),
+        ],
+        out_specs=pl.BlockSpec((1, D, n_p), lambda b, t: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bs, D, n_p), jnp.float32),
+        interpret=interpret,
+    )(cnt.reshape(bs, 1, n_strips), active, ids_p, g_p)
+    return out[:, :, :n].transpose(0, 2, 1)
 
 
 def compute_face_index_map_pallas(

@@ -307,6 +307,114 @@ def test_gather_face_vertices_grad_matches_segment_sum():
     )
 
 
+def test_gather_face_vertices_planar_parity():
+    """The coordinate-planar gather ([bs, 3, 3, nf], k-major slots) must
+    be a pure relayout of the standard [bs, nf, 3, 3] gather -- values
+    bit-equal and vertex gradients matching the XLA segment-sum -- with
+    and without host-precomputed (k-major) occupancy lists."""
+    from neural_renderer_v2_pytorch_tpu.ops.gather_resolve import (
+        gather_face_vertices,
+        slot_occupancy,
+    )
+
+    rng = np.random.RandomState(7)
+    nv, nf, bs = 61, 47, 2
+    vertices = jnp.asarray(rng.randn(bs, nv, 3).astype("float32"))
+    faces = jnp.asarray(rng.randint(0, nv, size=(nf, 3)).astype("int32"))
+    std = np.asarray(jnp.take(vertices, faces, axis=1))
+
+    occ = slot_occupancy(np.asarray(faces), nv, planar=True)
+    for backend, occupancy in [("xla", None), ("pallas", None), ("pallas", occ)]:
+        planar = np.asarray(
+            gather_face_vertices(vertices, faces, backend, occupancy, True)
+        )
+        assert planar.shape == (bs, 3, 3, nf)
+        np.testing.assert_array_equal(
+            planar.transpose(0, 3, 2, 1), std, err_msg=f"{backend} {occupancy is not None}"
+        )
+
+    cotan = rng.randn(bs, 3, 3, nf).astype("float32")
+
+    def loss(v, backend, occupancy):
+        return jnp.sum(
+            gather_face_vertices(v, faces, backend, occupancy, True) * cotan
+        )
+
+    g_xla = np.asarray(jax.grad(lambda v: loss(v, "xla", None))(vertices))
+    # oracle: the standard-layout xla gather with the relayouted cotangent
+    g_std = np.asarray(
+        jax.grad(
+            lambda v: jnp.sum(
+                gather_face_vertices(v, faces, "xla")
+                * cotan.transpose(0, 3, 2, 1)
+            )
+        )(vertices)
+    )
+    # k-major vs face-major slot order changes the segment-sum
+    # accumulation order: equal up to f32 rounding, not bitwise
+    scale0 = np.abs(g_std).max()
+    np.testing.assert_allclose(g_xla, g_std, atol=1e-6 * scale0)
+    for occupancy in [None, occ]:
+        g_pal = np.asarray(
+            jax.grad(lambda v: loss(v, "pallas", occupancy))(vertices)
+        )
+        scale = np.abs(g_std).max()
+        np.testing.assert_allclose(g_pal, g_std, atol=1e-4 * scale)
+
+
+def test_resolve_and_gather_planar_faces_parity(reference_data):
+    """resolve_and_gather(planar_faces=True) on the [bs, 3, 3, nf] layout:
+    forward bit-equal to the standard layout, backward matching with the
+    cotangent relayouted, with and without attrs, both latch_z modes."""
+    from neural_renderer_v2_pytorch_tpu.ops.gather_resolve import (
+        resolve_and_gather,
+    )
+
+    vertices, faces = nr.load_obj(str(reference_data / "teapot.obj"))
+    renderer = nr.Renderer()
+    renderer.viewpoints = nr.get_points_from_angles(2.732, 30, 45)
+    tv = renderer.transform_vertices(jnp.asarray(vertices[None]))
+    fv = jnp.take(tv, jnp.asarray(faces), axis=1)
+    fvp = fv.transpose(0, 3, 2, 1)
+    nf = fv.shape[1]
+    rng = np.random.RandomState(3)
+    attrs = jnp.asarray(rng.randn(1, nf, 5).astype("float32"))
+
+    for latch_z, use_attrs in [(True, True), (False, False)]:
+        a = attrs if use_attrs else None
+        fim_s, fvm_s, ap_s = resolve_and_gather(
+            fv, a, 0, 64, 0.1, 100.0, True, "pallas", None, latch_z, False
+        )
+        fim_p, fvm_p, ap_p = resolve_and_gather(
+            fvp, a, 0, 64, 0.1, 100.0, True, "pallas", None, latch_z, True
+        )
+        np.testing.assert_array_equal(np.asarray(fim_s), np.asarray(fim_p))
+        np.testing.assert_array_equal(np.asarray(fvm_s), np.asarray(fvm_p))
+        if use_attrs:
+            np.testing.assert_array_equal(np.asarray(ap_s), np.asarray(ap_p))
+
+        cot = jnp.asarray(rng.randn(*fvm_s.shape).astype("float32"))
+
+        def loss_s(x, a=a):
+            _, m, _ = resolve_and_gather(
+                x, a, 0, 64, 0.1, 100.0, True, "pallas", None, latch_z, False
+            )
+            return jnp.sum(m * cot)
+
+        def loss_p(x, a=a):
+            _, m, _ = resolve_and_gather(
+                x, a, 0, 64, 0.1, 100.0, True, "pallas", None, latch_z, True
+            )
+            return jnp.sum(m * cot)
+
+        g_s = np.asarray(jax.grad(loss_s)(fv))
+        g_p = np.asarray(jax.grad(loss_p)(fvp))
+        scale = max(np.abs(g_s).max(), 1e-6)
+        np.testing.assert_allclose(
+            g_p.transpose(0, 3, 2, 1), g_s, atol=1e-6 * scale
+        )
+
+
 def test_scatter_to_faces_matches_segment_sum(reference_data):
     """The MXU one-hot scatter backward == the XLA segment-sum oracle."""
     from neural_renderer_v2_pytorch_tpu.ops.gather_resolve import _scatter_to_faces
