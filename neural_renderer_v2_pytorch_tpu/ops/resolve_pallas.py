@@ -128,6 +128,95 @@ def _col_windows(bbox, cw, image_size):
     return c0, n_win
 
 
+def _face_chunks_kernel(fvp_ref, consts_ref, coords_ref, *, coords_dim):
+    """Per-chunk face constants (and latch coordinate rows) from planar
+    face vertices -- the in-kernel twin of
+    :func:`resolve.face_constants_planar` fused with the chunk-major
+    relayout.
+
+    One dispatch replaces the XLA stack (17 dynamic-update-slice fusions
+    at small face counts) plus the two chunking transposes of
+    :func:`_run_windowed` -- ~15 kernels of pure glue on the driver-bench
+    config.  Expressions are identical f32 ops in identical order, so the
+    output is bit-identical (asserted by tests against the XLA builder on
+    both CPU-interpret and compiled TPU).  Zero-padded faces produce
+    iz=inf / det=0 rows; every consumer masks faces past ``nf`` before
+    any store, so pad values never surface.
+    """
+    f = fvp_ref[0]  # [3 (coord), 3 (vertex), K]
+    x0, y0, z0 = f[0, 0], f[1, 0], f[2, 0]
+    x1, y1, z1 = f[0, 1], f[1, 1], f[2, 1]
+    x2, y2, z2 = f[0, 2], f[1, 2], f[2, 2]
+    C0 = x1 * y2 - x2 * y1
+    C1 = x2 * y0 - x0 * y2
+    C2 = x0 * y1 - x1 * y0
+    consts_ref[0, 0] = jnp.stack(
+        (
+            x2 - x1, y1 - y2, C0,
+            x0 - x2, y2 - y0, C1,
+            x1 - x0, y0 - y1, C2,
+            1.0 / z0, 1.0 / z1, 1.0 / z2,
+            C0 + C1 + C2,
+            jnp.minimum(jnp.minimum(x0, x1), x2),
+            jnp.maximum(jnp.maximum(x0, x1), x2),
+            jnp.minimum(jnp.minimum(y0, y1), y2),
+            jnp.maximum(jnp.maximum(y0, y1), y2),
+        ),
+        axis=0,
+    )
+    if coords_dim:
+        nc = coords_dim // 3  # vertex-major plane order (x0,y0[,z0],x1,..)
+        coords_ref[0, 0] = jnp.stack(
+            [f[ci, v] for v in range(3) for ci in range(nc)], axis=0
+        )
+
+
+def _face_chunks_pallas(fvp, face_chunk, coords_dim, interpret):
+    """[bs, 3, 3, nf] planar face vertices -> chunk-major kernel operands:
+    (consts [bs, n_chunks, 17, K], coords [bs, n_chunks, coords_dim, K]
+    or None).  Requires 128-divisible ``face_chunk`` (lane-aligned
+    blocks); callers fall back to the XLA builder otherwise."""
+    bs, _, _, nf = fvp.shape
+    pad = (-nf) % face_chunk
+    n_chunks = (nf + pad) // face_chunk
+    g = jnp.pad(fvp, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    out_shape = [
+        jax.ShapeDtypeStruct((bs, n_chunks, 17, face_chunk), jnp.float32)
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, 17, face_chunk), lambda b, c: (b, c, 0, 0))
+    ]
+    if coords_dim:
+        out_shape.append(
+            jax.ShapeDtypeStruct(
+                (bs, n_chunks, coords_dim, face_chunk), jnp.float32
+            )
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, coords_dim, face_chunk), lambda b, c: (b, c, 0, 0)
+            )
+        )
+
+    def wrapped(fv_ref, consts_ref, *rest):
+        _face_chunks_kernel(
+            fv_ref, consts_ref, rest[0] if rest else None,
+            coords_dim=coords_dim,
+        )
+
+    outs = pl.pallas_call(
+        wrapped,
+        grid=(bs, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 3, 3, face_chunk), lambda b, c: (b, 0, 0, c))
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(g)
+    return outs[0], (outs[1] if coords_dim else None)
+
+
 def _windowed_kernel(
     # SMEM operands
     rs_ref,          # [1] int32: global image row of output row 0
@@ -382,7 +471,20 @@ def _run_windowed(
         g = jnp.pad(per_face, ((0, 0), (0, 0), (0, pad)))
         return g.reshape(bs, d, n_chunks, face_chunk).transpose(0, 2, 1, 3)
 
-    if planar_faces:
+    coords_ch = None
+    if planar_faces and face_chunk % 128 == 0 and not interpret:
+        # single fused dispatch for constants + latch coords (see
+        # _face_chunks_kernel).  Compiled-only: Mosaic and XLA:TPU
+        # contract the cross products to the same FMAs (verified
+        # bitwise vs the XLA builder on v5e; asserted by the hardware
+        # tier), while interpret mode evaluates op-by-op and loses the
+        # contraction (1-ulp diffs on C0/C1/C2/det), so CPU tests keep
+        # the XLA builder below.
+        consts_ch, coords_ch = _face_chunks_pallas(
+            face_vertices, face_chunk,
+            coords_dim if latch else 0, interpret,
+        )
+    elif planar_faces:
         consts_ch = chunked_planar(face_constants_planar(face_vertices))
     else:
         consts_ch = chunked(face_constants(face_vertices))  # [bs, nf, 17]
@@ -403,7 +505,9 @@ def _run_windowed(
 
     in_specs = [smem1((1,)), smem1((1,)), chunk_spec(17)]
     if latch:
-        if planar_faces:
+        if coords_ch is not None:
+            inputs.append(coords_ch)
+        elif planar_faces:
             # plane order (x0,y0[,z0],x1,...): vertex-major of coordinate
             fvp = face_vertices if coords_dim == 9 else face_vertices[:, :2]
             coords_src = fvp.transpose(0, 2, 1, 3).reshape(bs, coords_dim, nf)
@@ -1022,9 +1126,14 @@ def resolve_gather_pallas(
         # tuned on v5e at 512^2: tiny faces (large meshes) amortize the
         # per-group scalar bookkeeping over 8 faces when the latch is
         # light (xy-only at 158K faces: G=8 11.4 ms, G=4 13.0, G=2 17.5;
-        # G=16 12.1 -- union-window growth wins past 8); heavy latches
-        # and big faces prefer G=2
-        group_size = 8 if (not latch_z and nf >= 16384) else 2
+        # G=16 12.1 -- union-window growth wins past 8).  Light-latch
+        # SMALL meshes still prefer G=4 over G=2 (teapot 2.4K: 0.38 vs
+        # 0.42 ms; 9.8K: 0.95 vs 1.14 -- benchmarks/tune_resolve.py).
+        # Heavy latches (9 z-planes + attrs) prefer G=2.
+        if latch_z:
+            group_size = 2
+        else:
+            group_size = 8 if nf >= 16384 else 4
     if tile is not None and mode == "auto":
         mode = "binned"  # an explicit tile pins the binned kernel
     if _pick_mode(mode, image_size, num_rows, True, num_attrs) == "windowed":

@@ -93,6 +93,42 @@ def test_windowed_and_row_window_bit_exact_on_tpu():
 
 
 @requires_tpu
+def test_fused_face_chunks_bit_exact_on_tpu():
+    """The in-kernel constants/coords builder (_face_chunks_pallas) vs
+    the XLA builders, bitwise: Mosaic and XLA:TPU must contract the
+    cross products to the same FMAs (the compiled-only gate in
+    _run_windowed relies on this)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neural_renderer_v2_pytorch_tpu.ops.resolve import (
+        face_constants_planar,
+    )
+    from neural_renderer_v2_pytorch_tpu.ops.resolve_pallas import (
+        _face_chunks_pallas,
+    )
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("no TPU backend")
+    rng = np.random.RandomState(7)
+    bs, nf, K = 2, 3000, 256  # pads to 3072: pad faces exercised
+    fvp = np.asarray(rng.randn(bs, 3, 3, nf).astype("float32") + 1.0)
+    for coords_dim in (9, 6):
+        consts, coords = jax.jit(
+            lambda x, d=coords_dim: _face_chunks_pallas(x, K, d, False)
+        )(fvp)
+        got_c = np.asarray(consts).transpose(0, 2, 1, 3).reshape(bs, 17, -1)
+        ref_c = np.asarray(jax.jit(face_constants_planar)(jnp.asarray(fvp)))
+        np.testing.assert_array_equal(got_c[..., :nf], ref_c)
+        nc = coords_dim // 3
+        got_x = np.asarray(coords).transpose(0, 2, 1, 3).reshape(
+            bs, coords_dim, -1
+        )[..., :nf]
+        ref_x = fvp[:, :nc].transpose(0, 2, 1, 3).reshape(bs, coords_dim, nf)
+        np.testing.assert_array_equal(got_x, ref_x)
+
+
+@requires_tpu
 def test_mxu_row_ops_on_tpu():
     """Compiled gather_rows (bit-exact), vertex-gather grads, and the
     parted scatter_rows on hardware vs XLA oracles."""
