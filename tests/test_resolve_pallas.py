@@ -460,6 +460,69 @@ def test_scatter_to_faces_tiny_image_and_odd_faces():
     np.testing.assert_allclose(pal, ref, atol=1e-4 * scale)
 
 
+def test_scatter_to_faces_sub_batch_bit_exact():
+    """The large-bs lax.map split (sub_batch) is bit-identical to the
+    monolithic kernel, at a bs that is NOT a multiple of sub_batch (pad
+    images must scatter nothing), for NHWC, planar/planar_out, and the
+    static-occupancy path."""
+    from neural_renderer_v2_pytorch_tpu.ops.resolve_pallas import (
+        scatter_to_faces_pallas,
+        slot_scatter_occupancy,
+    )
+
+    rng = np.random.RandomState(5)
+    nf, bs = 50, 10
+    fim = jnp.asarray(rng.randint(-1, nf, size=(bs, 16, 128)).astype("int32"))
+    g = jnp.asarray(rng.randn(bs, 16, 128, 4).astype("float32"))
+
+    full = np.asarray(
+        scatter_to_faces_pallas(
+            g, fim, nf, face_chunk=16, interpret=True, sub_batch=None
+        )
+    )
+    sub = np.asarray(
+        scatter_to_faces_pallas(
+            g, fim, nf, face_chunk=16, interpret=True, sub_batch=4
+        )
+    )
+    np.testing.assert_array_equal(sub, full)
+
+    gp = jnp.asarray(np.asarray(g).transpose(0, 3, 1, 2))
+    for planar_out in (False, True):
+        a = np.asarray(
+            scatter_to_faces_pallas(
+                gp, fim, nf, face_chunk=16, interpret=True,
+                planar=True, planar_out=planar_out, sub_batch=None,
+            )
+        )
+        b = np.asarray(
+            scatter_to_faces_pallas(
+                gp, fim, nf, face_chunk=16, interpret=True,
+                planar=True, planar_out=planar_out, sub_batch=4,
+            )
+        )
+        np.testing.assert_array_equal(b, a)
+
+    # static ids (the face->vertex slot-map use) + occupancy lists
+    ids = np.tile(
+        rng.randint(-1, nf, size=(1, 2048)).astype("int32"), (bs, 1)
+    )
+    gi = jnp.asarray(rng.randn(bs, 1, 2048, 3).astype("float32"))
+    occ = slot_scatter_occupancy(ids, nf, strip=512, face_chunk=16)
+    kw = dict(strip=512, face_chunk=16, patch=None, interpret=True)
+    a = np.asarray(
+        scatter_to_faces_pallas(
+            gi, jnp.asarray(ids), nf, occupancy=occ, sub_batch=None, **kw
+        )
+    )
+    b = np.asarray(
+        scatter_to_faces_pallas(
+            gi, jnp.asarray(ids), nf, occupancy=occ, sub_batch=4, **kw
+        )
+    )
+    np.testing.assert_array_equal(b, a)
+
+
 @pytest.mark.parametrize("size", [320, 640, 136])
 def test_non_power_of_two_sizes(size):
     """Auto tile selection must handle any 8-aligned image size (a fixed
