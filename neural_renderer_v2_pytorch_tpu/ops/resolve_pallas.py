@@ -1123,17 +1123,19 @@ def resolve_gather_pallas(
     coords_dim = 9 if latch_z else 6
     nf = face_vertices.shape[-1] if planar_faces else face_vertices.shape[1]
     if group_size is None:
-        # tuned on v5e at 512^2: tiny faces (large meshes) amortize the
-        # per-group scalar bookkeeping over 8 faces when the latch is
-        # light (xy-only at 158K faces: G=8 11.4 ms, G=4 13.0, G=2 17.5;
-        # G=16 12.1 -- union-window growth wins past 8).  Light-latch
-        # SMALL meshes still prefer G=4 over G=2 (teapot 2.4K: 0.38 vs
-        # 0.42 ms; 9.8K: 0.95 vs 1.14 -- benchmarks/tune_resolve.py).
-        # Heavy latches (9 z-planes + attrs) prefer G=2.
-        if latch_z:
+        # tuned on v5e at 512^2 (benchmarks/tune_resolve.py): tiny faces
+        # (large meshes) amortize the per-group scalar bookkeeping over
+        # 8 faces (light latch 158K: G=8 11.4 ms vs G=2 17.5; heavy
+        # latch 158K: 15.4 vs 19.6); mid meshes prefer G=4 (light 2.4K:
+        # 0.38 vs 0.42, 9.8K: 0.95 vs 1.14; heavy 9.8K: 1.22 vs 1.35);
+        # only heavy-latch SMALL meshes keep G=2 (2.4K: 0.47 vs 0.55 --
+        # big faces pay union-window growth on every latched plane).
+        if nf >= 16384:
+            group_size = 8
+        elif latch_z and nf < 4096:
             group_size = 2
         else:
-            group_size = 8 if nf >= 16384 else 4
+            group_size = 4
     if tile is not None and mode == "auto":
         mode = "binned"  # an explicit tile pins the binned kernel
     if _pick_mode(mode, image_size, num_rows, True, num_attrs) == "windowed":
