@@ -326,6 +326,70 @@ def test_custom_adam_param_wise_lr():
     np.testing.assert_allclose(np.asarray(new["b"]), 1.0 - 0.1, atol=1e-3)
 
 
+def test_batch_chunked_render_bit_exact(reference_data):
+    """batch_chunk (the large-bs lax.map split) is bit-identical to the
+    monolithic render -- values AND vertex gradients -- at a bs that is
+    not a multiple of the chunk, for silhouettes and textured+lit RGBA
+    with a background color."""
+    from neural_renderer_v2_pytorch_tpu.models.lights import (
+        AmbientLight,
+        DirectionalLight,
+    )
+    from neural_renderer_v2_pytorch_tpu.ops.camera import look_at, perspective
+    from neural_renderer_v2_pytorch_tpu.ops.rasterize import (
+        RasterizeParam,
+        rasterize_rgba,
+    )
+    from neural_renderer_v2_pytorch_tpu.utils.helpers import create_textures
+
+    vertices, faces = nr.load_obj(str(reference_data / "teapot.obj"))
+    bs = 10
+    eyes = np.stack(
+        [
+            np.array(nr.get_points_from_angles(2.732, 30, 36 * i), "float32")
+            for i in range(bs)
+        ]
+    )
+    tv = perspective(
+        look_at(jnp.broadcast_to(jnp.asarray(vertices[None]), (bs,) + vertices.shape), eyes),
+        angle=30.0,
+    )
+    F = np.asarray(faces)
+    hp0 = RasterizeHyperparam(image_size=64, batch_chunk=None)
+    hp4 = RasterizeHyperparam(image_size=64, batch_chunk=4)
+
+    a = rasterize_silhouettes(tv, F, None, hp0)
+    b = rasterize_silhouettes(tv, F, None, hp4)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    vt, ft, tex = create_textures(F.shape[0], texture_size=2)
+    params = RasterizeParam(
+        vertices_textures=jnp.broadcast_to(jnp.asarray(vt[None]), (bs,) + vt.shape),
+        faces_textures=np.asarray(ft),
+        textures=jnp.broadcast_to(jnp.asarray(tex[None]), (bs,) + tex.shape),
+        texture_size=2,
+        background_color=(0.2, 0.3, 0.4),
+        lights=(
+            AmbientLight(color=jnp.full((bs, 3), 0.4)),
+            DirectionalLight(
+                color=jnp.full((bs, 3), 0.6),
+                direction=jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (bs, 1)),
+            ),
+        ),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rasterize_rgba(tv, F, params, hp0)),
+        np.asarray(rasterize_rgba(tv, F, params, hp4)),
+    )
+
+    def loss(x, hp):
+        return jnp.sum(rasterize_silhouettes(x, F, None, hp) ** 2)
+
+    ga = jax.grad(lambda x: loss(x, hp0))(tv)
+    gb = jax.grad(lambda x: loss(x, hp4))(tv)
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+
+
 def test_odd_image_size_renders(reference_data, monkeypatch):
     """Non-8-aligned / non-128-wide sizes run the PALLAS kernel (padded
     canvas + crop inside the op -- no silent XLA fallback) and match the
