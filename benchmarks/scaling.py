@@ -207,6 +207,24 @@ def main():
         Vs = jnp.asarray(v[None])
         report("silhouette 512^2 bs=1 (%dK faces)" % (f.shape[0] // 1000),
                device_time(sil_step(np.asarray(f), eye1, hp512), Vs), 512 ** 2)
+        if lvl == 3:
+            # textured at scale (heavy latch: 9 coord planes + UVs +
+            # texels); exercises the large-mesh group-size tuning
+            Fs = np.asarray(f)
+            vts, fts, texs = nr.create_textures(Fs.shape[0], texture_size=2)
+            ps = RasterizeParam(
+                vertices_textures=np.asarray(vts[None]),
+                faces_textures=np.asarray(fts),
+                textures=np.asarray(texs[None]), texture_size=2,
+            )
+
+            def tstep512(vv, ps=ps, Fs=Fs):
+                def loss(vv):
+                    tv = perspective(look_at(vv, eye1), angle=30.0)
+                    return jnp.sum(rasterize_rgba(tv, Fs, ps, hp512) ** 2)
+                return vv - 1e-9 * jax.grad(loss)(vv)
+            report("textured 512^2 bs=1 (%dK faces)" % (Fs.shape[0] // 1000),
+                   device_time(tstep512, Vs), 512 ** 2)
 
 
 if __name__ == "__main__":
