@@ -423,8 +423,10 @@ def _batch_chunked_core(vertices, faces, params, hp: RasterizeHyperparam):
     pad outputs are cropped, making the result bit-identical to the
     monolithic render image by image."""
     bs = vertices.shape[0]
-    bc = hp.batch_chunk
-    nb = -(-bs // bc)
+    # balance the chunks: bs=9 with batch_chunk=8 runs 2x5 images (1 pad),
+    # not 2x8 (7 pads) -- smaller sub-batches stay in the cheap regime
+    nb = -(-bs // hp.batch_chunk)
+    bc = -(-bs // nb)
     pad_b = nb * bc - bs
 
     def split(x):
