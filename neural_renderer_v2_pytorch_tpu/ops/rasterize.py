@@ -68,7 +68,9 @@ class RasterizeHyperparam:
     # STEP function of the compiled batch -- ~0.53 ms/img at bs<=8 vs
     # ~0.72 ms/img at bs=30 with identical per-image work -- and mapping
     # over 8-image sub-batches restores the small-batch regime
-    # (bs=30 steps: 21.8 -> 17.4 ms fwd+bwd).  None disables.
+    # (bs=30 steps: 21.8 -> 17.4 ms fwd+bwd).  None disables.  Applies
+    # to the single-device pipeline; the sharded path (parallel/render)
+    # divides the batch over the data mesh axis instead.
     batch_chunk: Optional[int] = 8
 
     def replace(self, **kw):
