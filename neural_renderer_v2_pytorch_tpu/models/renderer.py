@@ -47,6 +47,7 @@ class Renderer(object):
         # TPU knobs
         self.backend = "auto"      # 'auto' | 'xla' | 'pallas'
         self.face_chunk = 16
+        self.batch_chunk = 8       # lax.map sub-batching past this bs
         # set to the create_textures texture_size to enable the
         # gather-free per-face-patch sampling fast path (leave None for
         # arbitrary loaded atlases)
@@ -72,6 +73,7 @@ class Renderer(object):
             draw_backside=self.draw_backside,
             backend=self.backend,
             face_chunk=self.face_chunk,
+            batch_chunk=self.batch_chunk,
         )
 
     def render_silhouettes(self, vertices, faces, backgrounds=None):
