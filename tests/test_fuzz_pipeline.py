@@ -43,7 +43,7 @@ def test_fuzz_backends_bit_exact(case):
     bs = int(rng.randint(1, 4))
     nf = int(rng.randint(5, 60))
     nv = int(rng.randint(9, 40))
-    size = int(rng.choice([16, 24, 33, 64]))
+    size = int(rng.choice([16, 24, 33]))
     aa = bool(rng.randint(2))
     backside = bool(rng.randint(2))
     tv, f = _random_scene(rng, bs, nf, nv)
