@@ -80,8 +80,16 @@ _GATHER3_CHUNK = 512
 # same-session A/Bs at 473K slots / 236K vertices: XLA's serial row ops
 # run ~10-14 ns/row; the one-hot kernels cost ~2 VPU lane-ops per
 # compare (build + cast) plus ~3 us of per-strip program overhead.
+# NOTE on the gather rate: standalone, XLA's take runs at 2.3-4.6
+# ns/slot outside a table-size cliff (see _gather_table_pad) -- but
+# IN SITU the one-hot gather still wins at scale because it emits the
+# coordinate-planar [bs, 3, 3, nf] layout directly, while the XLA path
+# pays the minor-dim-3 relayout behind jnp.take (full-step A/B:
+# one-hot wins by 0.8-1.0 ms at 473K slots and ~0.6 ms at 1.9M, loses
+# ~0.3 ms at 118K -- hence the _GATHER_MIN_SLOTS floor).
 _XLA_SCATTER_NS = 14.0
-_XLA_GATHER_NS = 10.6
+_XLA_GATHER_NS = 10.6  # effective in-situ rate (take + planar relayout)
+_GATHER_MIN_SLOTS = 250_000
 _LANEOPS_PER_S = 0.96e12
 _STRIP_OVERHEAD_S = 3e-6
 
@@ -90,6 +98,25 @@ def _onehot_wins(cnt, K, T, n_strips, xla_ns, n_slots):
     compares = float(cnt.sum()) * K * T
     t_onehot = compares * 2 / _LANEOPS_PER_S + n_strips * _STRIP_OVERHEAD_S
     return t_onehot < n_slots * xla_ns * 1e-9
+
+
+def _gather_table_pad(nv):
+    """Rows to pad a gather TABLE past XLA:TPU's table-size perf cliff.
+
+    Measured on v5e (473K-slot gather, coherent ids, N-differenced scan
+    chains): jnp.take runs at 2.3-4.6 ns/slot for tables below ~229K or
+    at/above ~278K rows, but ~11.6 ns/slot (4-5x) for tables inside
+    (229376, 278528) -- reproduced at 245760/262144 slow vs
+    229376/278528 fast, and on the real 236,544-vertex subdivided
+    teapot (5.4 ms -> 2.07 ms once padded to 2^19).  Zero-padding the
+    table through the band is a pure copy (< 10 us).  This protects the
+    XLA path (small or id-incoherent meshes, where the one-hot gather is
+    not selected) from the cliff; at scale the one-hot gather still wins
+    in situ via its planar-native output (see the note on
+    _XLA_GATHER_NS)."""
+    if 229376 < nv < 278528:
+        return 278528 - nv
+    return 0
 
 
 @functools.lru_cache(maxsize=16)
@@ -132,7 +159,7 @@ def _slot_occupancy_cached(faces_bytes, nf, nv, k_major):
         gather = slots3_occupancy(
             faces, nv, fstrip=_GATHER3_FSTRIP, chunk=_GATHER3_CHUNK
         )
-        if not _onehot_wins(
+        if slots.size < _GATHER_MIN_SLOTS or not _onehot_wins(
             gather[0], _GATHER3_CHUNK, 3 * _GATHER3_FSTRIP,
             gather[0].shape[-1], _XLA_GATHER_NS, slots.size,
         ):
@@ -149,7 +176,7 @@ def _slot_occupancy_cached(faces_bytes, nf, nv, k_major):
     gather = slot_gather_occupancy(
         slots, nv, strip=_GATHER_STRIP, chunk=_GATHER_CHUNK
     )
-    if not _onehot_wins(
+    if slots.size < _GATHER_MIN_SLOTS or not _onehot_wins(
         gather[0], _GATHER_CHUNK, _GATHER_STRIP, gather[0].shape[-1],
         _XLA_GATHER_NS, slots.size,
     ):
@@ -199,6 +226,9 @@ def _gfv_primal(vertices, face_indices, backend, occupancy, planar):
             occupancy=occ, interpret=_interpret(),
         )  # bit-exact == jnp.take (3-way bf16 split)
         return out.reshape(bs, nf, 3, 3)
+    pad = _gather_table_pad(vertices.shape[1])
+    if pad:
+        vertices = jnp.pad(vertices, ((0, 0), (0, pad), (0, 0)))
     out = jnp.take(vertices, face_indices, axis=1)  # [bs, nf, k, coord]
     if planar:
         out = out.transpose(0, 3, 2, 1)
