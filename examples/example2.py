@@ -78,10 +78,12 @@ def run():
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(vertices, updates), opt_state, loss
 
+    losses = []
     for i in range(args.num_steps):
         vertices, opt_state, loss = train_step(vertices, opt_state)
+        losses.append(float(loss))
         if i % 10 == 0 or i == args.num_steps - 1:
-            print("step %d: loss %.3f" % (i, float(loss)))
+            print("step %d: loss %.3f" % (i, losses[-1]))
         image = np.asarray(render_silhouette(vertices, eye))
         lo, hi = image.min(), image.max()
         nr.imsave("%s/_tmp_%04d.png" % (working_dir, i), (image - lo) / max(hi - lo, 1e-8))
@@ -96,6 +98,7 @@ def run():
         nr.imsave("%s/_tmp_%04d.png" % (working_dir, num), (image - lo) / max(hi - lo, 1e-8))
     nr.make_gif(working_dir, args.output_res_file)
     print("wrote", args.output_opt_file, args.output_res_file)
+    return losses
 
 
 if __name__ == "__main__":

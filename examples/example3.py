@@ -87,12 +87,21 @@ def run():
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(texture_param, updates), opt_state, loss
 
+    # per-step losses are sampled at RANDOM viewpoints and so aren't
+    # comparable step to step; progress is measured at a fixed viewpoint
+    eval_vp = jnp.asarray(np.array(
+        nr.get_points_from_angles(CAMERA_DISTANCE, 0.0, 0.0), "float32"))
+    eval_loss = jax.jit(lambda p: loss_fn(p, eval_vp))
+
     key = jax.random.PRNGKey(0)
+    losses = [float(eval_loss(texture_param))]
     for i in range(args.num_steps):
         key, sub = jax.random.split(key)
         texture_param, opt_state, loss = train_step(texture_param, opt_state, sub)
         if i % 20 == 0 or i == args.num_steps - 1:
             print("step %d: loss %.3f" % (i, float(loss)))
+    losses.append(float(eval_loss(texture_param)))
+    print("eval loss (fixed view): %.3f -> %.3f" % (losses[0], losses[-1]))
 
     for num, azimuth in enumerate(range(0, 360, args.sweep_step)):
         vp = jnp.asarray(np.array(
@@ -102,6 +111,7 @@ def run():
         nr.imsave("%s/_tmp_%04d.png" % (working_dir, num), image)
     nr.make_gif(working_dir, args.output_res_file)
     print("wrote", args.output_res_file)
+    return losses
 
 
 if __name__ == "__main__":

@@ -74,9 +74,11 @@ def run():
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(camera_position, updates), opt_state, loss
 
+    losses = []
     for i in range(args.max_steps):
         camera_position, opt_state, loss = train_step(camera_position, opt_state)
         loss = float(loss)
+        losses.append(loss)
         image = np.asarray(render_from(camera_position))
         nr.imsave("%s/_tmp_%04d.png" % (working_dir, i), np.clip(image, 0, 1))
         if i % 10 == 0:
@@ -87,6 +89,7 @@ def run():
 
     nr.make_gif(working_dir, args.output_res_file)
     print("wrote", args.output_res_file)
+    return losses
 
 
 if __name__ == "__main__":

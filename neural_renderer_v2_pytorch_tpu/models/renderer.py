@@ -46,7 +46,9 @@ class Renderer(object):
 
         # TPU knobs
         self.backend = "auto"      # 'auto' | 'xla' | 'pallas'
-        self.face_chunk = 16
+        # face streaming chunk for the face-sharded resolve; None ->
+        # backend-tuned default (16 XLA scan / 256 Pallas SMEM stream)
+        self.face_chunk = None
         self.batch_chunk = 8       # lax.map sub-batching past this bs
         # set to the create_textures texture_size to enable the
         # gather-free per-face-patch sampling fast path (leave None for

@@ -61,7 +61,11 @@ class RasterizeHyperparam:
     draw_silhouettes: bool = True
     draw_depth: bool = True
     backend: str = "auto"     # 'auto' | 'xla' | 'pallas'
-    face_chunk: int = 16      # faces per streamed resolve chunk
+    # Faces per streamed resolve chunk on the face-sharded path
+    # (parallel/faces.py).  None -> the backend-tuned default (16 for the
+    # XLA scan, 256 for the Pallas kernel's SMEM stream); an explicit
+    # value is honored by WHICHEVER backend runs.
+    face_chunk: Optional[int] = None
     # Batches beyond this many images render as a lax.map over
     # sub-batches (padded by repeating the last image; outputs cropped).
     # Measured on v5e (256^2 AA teapot): XLA's per-image step cost is a
@@ -72,6 +76,11 @@ class RasterizeHyperparam:
     # to the single-device pipeline; the sharded path (parallel/render)
     # divides the batch over the data mesh axis instead.
     batch_chunk: Optional[int] = 8
+    # Ablation/debug switch for the coordinate-planar face-vertex hot
+    # path (see compute_channel_maps).  Static: participates in the jit
+    # cache key, and _run derives the slot-occupancy order from it, so
+    # the two can never desync.
+    planar_hot_path: bool = True
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -109,11 +118,6 @@ class RasterizeParam:
     slot_occupancy: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
 
 
-# Ablation/debug switch for the coordinate-planar face-vertex hot path
-# (see compute_channel_maps).  Flipping it mid-process requires clearing
-# the _jitted_core cache AND building occupancy with the matching
-# slot_occupancy(..., planar=...) order.
-_PLANAR_HOT_PATH = True
 
 
 def _resolve_backend(backend):
@@ -182,7 +186,7 @@ def compute_channel_maps(
     # layout copies at 512^2 / 158K faces.  NOTE: params.slot_occupancy
     # must then be k-major (slot_occupancy(..., planar=True) -- _run
     # matches this choice).
-    planar = backend == "pallas" and face_axis is None and _PLANAR_HOT_PATH
+    planar = backend == "pallas" and face_axis is None and hp.planar_hot_path
     face_vertices = gather_face_vertices(
         vertices, face_indices, "pallas" if occ is not None else "xla", occ,
         planar,
@@ -535,7 +539,7 @@ def _run(vertices, faces, params, hyperparams):
         # this single-device entry consumes the occupancy through the
         # coordinate-planar gather (k-major slots) when the hot path is on
         occ = slot_occupancy(
-            faces, np.shape(vertices)[1], planar=_PLANAR_HOT_PATH
+            faces, np.shape(vertices)[1], planar=hyperparams.planar_hot_path
         )
         if occ is not None:
             params = params.replace(slot_occupancy=occ)

@@ -61,6 +61,7 @@ binned 23.3 ms (and no prepass); 2.5K faces -- both ~1.9 ms.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1035,21 +1036,52 @@ def _run_binned(
     return index, depth, coords, attr_map
 
 
+@functools.lru_cache(maxsize=None)
+def _probe_vmem_budget(budget):
+    """True iff Mosaic accepts a kernel holding ``budget`` bytes of
+    VMEM-resident f32 output on the current backend.  AOT compile only
+    (``.lower().compile()``) -- nothing executes; an over-budget kernel
+    fails here instead of inside the user's first render."""
+    rows = max(budget // 4 // 128, 8)
+    def k(o_ref):
+        o_ref[...] = jnp.zeros_like(o_ref)
+    fn = pl.pallas_call(
+        k, out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32)
+    )
+    try:
+        jax.jit(fn).lower().compile()
+        return True
+    except Exception:
+        return False
+
+
 @functools.lru_cache(maxsize=1)
 def _windowed_vmem_budget():
     """Resident-plane budget for the windowed kernel, derived from the
     device generation (v5e measured working at 64 MB resident: VMEM is
     128 MB there; older generations have 16-32 MB, so large images must
-    take the binned kernel instead of failing to compile)."""
+    take the binned kernel instead of failing to compile).
+
+    ``NRV2_WINDOWED_VMEM_BUDGET`` (bytes) overrides.  On generations this
+    code has NOT been measured on, the guess is validated by probe
+    compiles at decreasing budgets -- a wrong guess degrades to the
+    binned kernel rather than hard-failing the user's first compile."""
+    env = os.environ.get("NRV2_WINDOWED_VMEM_BUDGET")
+    if env:
+        return int(env)
     try:
         kind = jax.devices()[0].device_kind.lower()
     except Exception:  # uninitialized backend: be conservative
         kind = ""
     if any(t in kind for t in ("v5 lite", "v5e", "v5p", "v6", "v7")):
-        return 64 * 1024 * 1024
+        return 64 * 1024 * 1024  # measured working (v5e)
     if "cpu" in kind or not kind:
         return 64 * 1024 * 1024  # interpret mode: no VMEM limit applies
-    return 12 * 1024 * 1024  # v2-v4: 16 MB VMEM minus headroom
+    # untested generation (v2-v4 have 16-32 MB VMEM): probe, don't guess
+    for budget in (12, 6, 3):
+        if _probe_vmem_budget(budget * 1024 * 1024):
+            return budget * 1024 * 1024
+    return 0  # every size takes the binned kernel
 
 
 def _pick_mode(mode, image_size, num_rows, latch, num_attrs):

@@ -61,7 +61,7 @@ def compute_face_index_map_face_sharded(
     near=0.1,
     far=100.0,
     draw_backside=True,
-    face_chunk=16,
+    face_chunk=None,
     row_start=0,
     num_rows=None,
     axis="face",
@@ -76,8 +76,9 @@ def compute_face_index_map_face_sharded(
     with :func:`ordered_z_combine`.  Returns the combined (replicated)
     [bs, num_rows, W] int32 map with GLOBAL face ids.
 
-    ``face_chunk`` tunes the XLA backend's scan chunk only; the Pallas
-    kernel sizes its own (SMEM-streamed) chunks internally.
+    ``face_chunk`` sets the per-shard resolve's face streaming chunk:
+    the XLA backend's scan chunk or the Pallas kernel's SMEM-streamed
+    chunk.  None picks the backend-tuned default (16 / 256).
     """
     n = jax.lax.axis_size(axis)
     idx = jax.lax.axis_index(axis)
@@ -98,12 +99,14 @@ def compute_face_index_map_face_sharded(
 
         index, depth = compute_face_index_map_pallas(
             local, image_size, near, far, draw_backside,
+            face_chunk=face_chunk if face_chunk else 256,
             row_start=row_start, num_rows=num_rows, return_depth=True,
             interpret=_interpret(),
         )
     else:
         index, depth = compute_face_index_map(
-            local, image_size, near, far, draw_backside, face_chunk,
+            local, image_size, near, far, draw_backside,
+            face_chunk if face_chunk else 16,
             row_start=row_start, num_rows=num_rows, return_depth=True,
         )
     index = jnp.where(index >= 0, index + start, -1)

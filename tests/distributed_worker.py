@@ -7,6 +7,14 @@ multi-process runtime through ``parallel.distributed.initialize`` (the
 production entry point, BASELINE.json config 5), build a global
 (data, tile) mesh spanning both processes, render a sharded silhouette,
 and check the cross-process result against a locally computed oracle.
+
+Then :func:`full_train_step_parity` runs the FULL textured fwd+bwd train
+step (teapot, AA on) with replicated trainable vertices/textures on (a)
+the (data, tile) mesh, whose data axis spans the processes -- the
+parameter-gradient psums ride the gloo (DCN stand-in) link -- and (b) a
+deliberately permuted mesh whose FACE axis crosses the processes, so the
+ordered z-combine's all_gather does too; image, loss, and vertex/texture
+gradients are asserted against the single-device oracle in every case.
 """
 
 import os
@@ -47,8 +55,9 @@ def main():
 
     mesh = distributed.global_mesh(data=2)  # tile = n_global // 2
     assert mesh.shape["data"] == 2 and mesh.shape["tile"] == n_global // 2
-    # a second mesh with the face axis spanning processes: the ordered
-    # z-combine's all_gather crosses the process boundary
+    # a second mesh with a face axis (innermost, global_mesh's production
+    # layout = within a host; full_train_step_parity below builds the
+    # deliberately-permuted mesh whose face axis CROSSES the processes)
     mesh_face = distributed.global_mesh(data=1, tile=n_global // 2, face=2)
 
     vertices = np.array(
@@ -98,7 +107,121 @@ def main():
         ).addressable_data(0)
     )
     np.testing.assert_array_equal(got_f, want)
+
+    # ---- full textured fwd+bwd train step across the process boundary ----
+    # The north star's headline collective is the vertex/texture gradient
+    # all-reduce across hosts (BASELINE.json configs[4]); everything below
+    # forces those psums over the gloo (DCN-stand-in) link and asserts
+    # image AND gradient parity against a process-local single-device
+    # oracle.
+    full_train_step_parity(mesh)
+
     print("distributed_worker %d/%d OK" % (process_id, num_processes), flush=True)
+
+
+def full_train_step_parity(mesh):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import neural_renderer_v2_pytorch_tpu as nr
+    from neural_renderer_v2_pytorch_tpu.ops.camera import look_at, perspective
+    from neural_renderer_v2_pytorch_tpu.ops.rasterize import (
+        RasterizeHyperparam,
+        RasterizeParam,
+        rasterize_rgba,
+    )
+    from neural_renderer_v2_pytorch_tpu.parallel import rasterize_rgba_sharded
+    from neural_renderer_v2_pytorch_tpu.parallel.mesh import make_mesh
+
+    ref_obj = "/root/reference/examples_pytorch/data/teapot.obj"
+    if not os.path.exists(ref_obj):
+        print("teapot unavailable; skipping train-step parity", flush=True)
+        return
+
+    # the grad psums must actually cross processes: 'data' (the axis the
+    # replicated-parameter psums run over) spans both on this mesh
+    md = mesh.devices
+    assert md[0, 0].process_index != md[1, 0].process_index, md
+
+    verts_np, faces_np = nr.load_obj(ref_obj)
+    nf = faces_np.shape[0]
+    vt, ft, tex = nr.create_textures(nf, texture_size=2)
+    bs = 2
+    eyes = jnp.asarray(np.stack(
+        [np.array(nr.get_points_from_angles(2.732, 20, 50 * (i + 1)), "float32")
+         for i in range(bs)]
+    ))
+    hp = RasterizeHyperparam(image_size=32, anti_aliasing=True)  # AA ON
+    faces_j = jnp.asarray(faces_np)
+    vt_b = jnp.asarray(np.tile(vt[None], (bs, 1, 1)))
+    ft_j = jnp.asarray(ft)
+
+    def render(vb, texb, rasterize_fn, **kw):
+        # trainable params are REPLICATED (vb [nv,3], texb [3,th,tw]);
+        # the batch broadcast's transpose is the cross-process psum
+        v = jnp.broadcast_to(vb[None], (bs,) + vb.shape)
+        tv = perspective(look_at(v, eyes), angle=30.0)
+        texs = jnp.broadcast_to(texb[None], (bs,) + texb.shape)
+        p = RasterizeParam(
+            vertices_textures=vt_b, faces_textures=ft_j, textures=texs
+        )
+        return rasterize_fn(tv, faces_j, p, hp, **kw)
+
+    def loss_sharded(vb, texb):
+        return jnp.sum(render(vb, texb, rasterize_rgba_sharded, mesh=mesh) ** 2)
+
+    def loss_single(vb, texb):
+        return jnp.sum(render(vb, texb, rasterize_rgba) ** 2)
+
+    vb0 = jnp.asarray(verts_np)
+    texb0 = jnp.asarray(tex)
+    l_sh, (gv_sh, gt_sh) = jax.value_and_grad(loss_sharded, argnums=(0, 1))(
+        vb0, texb0
+    )
+    l_si, (gv_si, gt_si) = jax.value_and_grad(loss_single, argnums=(0, 1))(
+        vb0, texb0
+    )
+
+    def fetch(x, m):
+        return np.asarray(
+            jax.jit(lambda y: y, out_shardings=NamedSharding(m, P()))(
+                x
+            ).addressable_data(0)
+        )
+
+    def check(got, want, tol, what):
+        scale = max(np.abs(want).max(), 1e-6)
+        err = np.abs(got - want).max() / scale
+        assert err <= tol, (what, err)
+
+    check(fetch(l_sh, mesh), np.asarray(l_si), 1e-5, "loss")
+    check(fetch(gv_sh, mesh), np.asarray(gv_si), 1e-4, "vertex grad")
+    check(fetch(gt_sh, mesh), np.asarray(gt_si), 1e-4, "texture grad")
+
+    # ---- the same step on a mesh whose FACE axis spans the processes ----
+    # (global_mesh keeps face innermost = within a host; permute devices
+    # so the ordered z-combine's all_gather and the attribute-gather grad
+    # psums cross the process boundary here)
+    devs = jax.devices()
+    by_face = [devs[0], devs[2], devs[1], devs[3]]
+    mesh_xf = make_mesh(data=1, tile=2, face=2, devices=by_face)
+    xd = mesh_xf.devices
+    assert xd[0, 0, 0].process_index != xd[0, 0, 1].process_index, xd
+
+    def loss_xf(vb, texb):
+        return jnp.sum(
+            render(vb, texb, rasterize_rgba_sharded, mesh=mesh_xf) ** 2
+        )
+
+    l_xf, (gv_xf, gt_xf) = jax.value_and_grad(loss_xf, argnums=(0, 1))(
+        vb0, texb0
+    )
+    check(fetch(l_xf, mesh_xf), np.asarray(l_si), 1e-5, "face-mesh loss")
+    check(fetch(gv_xf, mesh_xf), np.asarray(gv_si), 1e-4, "face-mesh vertex grad")
+    check(fetch(gt_xf, mesh_xf), np.asarray(gt_si), 1e-4, "face-mesh texture grad")
+    print("train-step parity OK (data-mesh + cross-process face mesh)", flush=True)
 
 
 if __name__ == "__main__":

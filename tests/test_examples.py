@@ -34,7 +34,17 @@ def _run_example(monkeypatch, name, argv, entry="run"):
         pytest.skip("reference example data not available")
     mod = _load_example(name)
     monkeypatch.setattr(sys, "argv", [name + ".py"] + argv)
-    getattr(mod, entry)()
+    return getattr(mod, entry)()
+
+
+def _assert_optimized(losses):
+    """The reference examples are convergence demos (e.g. example4.py's
+    loss<70 stop), not just artifact emitters: even a 3-step smoke must
+    show the loss moving, or a zero-grad wiring regression slips by.
+    (example3 returns [before, after] at a fixed eval viewpoint, the
+    others their per-step series; example4 may stop early.)"""
+    assert len(losses) >= 2
+    assert losses[-1] < losses[0], losses
 
 
 def test_example1_viewpoint_sweep(monkeypatch, tmp_path):
@@ -48,30 +58,33 @@ def test_example1_viewpoint_sweep(monkeypatch, tmp_path):
 
 def test_example2_vertex_fit(monkeypatch, tmp_path):
     oo, orr = tmp_path / "opt.gif", tmp_path / "res.gif"
-    _run_example(
+    losses = _run_example(
         monkeypatch, "example2",
         ["-oo", str(oo), "-or", str(orr), "-s", "64", "-n", "3",
          "--sweep_step", "90"],
     )
     assert oo.exists() and orr.exists()
+    _assert_optimized(losses)
 
 
 def test_example3_texture_fit(monkeypatch, tmp_path):
     out = tmp_path / "res.gif"
-    _run_example(
+    losses = _run_example(
         monkeypatch, "example3",
         ["-or", str(out), "-s", "64", "-n", "3", "--sweep_step", "90"],
     )
     assert out.exists() and out.stat().st_size > 0
+    _assert_optimized(losses)
 
 
 def test_example4_camera_fit(monkeypatch, tmp_path):
     out = tmp_path / "res.gif"
-    _run_example(
+    losses = _run_example(
         monkeypatch, "example4",
         ["-or", str(out), "-s", "64", "-n", "3"],
     )
     assert out.exists() and out.stat().st_size > 0
+    _assert_optimized(losses)
 
 
 def test_example5_sharded(monkeypatch, tmp_path):
@@ -87,9 +100,12 @@ def test_example5_sharded(monkeypatch, tmp_path):
 def test_two_process_distributed_dryrun():
     """parallel/distributed.py::initialize + global_mesh across TWO OS
     processes (2 virtual CPU devices each, gloo collectives): the sharded
-    render over the global mesh must match the single-process oracle in
-    both workers.  This is the CPU stand-in for a multi-host pod slice
-    (BASELINE.json config 5)."""
+    render AND the full textured fwd+bwd train step (teapot, AA on, on
+    both a data-spanning and a face-spanning mesh) must match the
+    single-process oracle in both workers -- the vertex/texture gradient
+    psums and the ordered z-combine's all_gather actually cross the
+    process boundary.  This is the CPU stand-in for a multi-host pod
+    slice (BASELINE.json config 5)."""
     worker = str(pathlib.Path(__file__).resolve().parent / "distributed_worker.py")
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -113,7 +129,7 @@ def test_two_process_distributed_dryrun():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=480)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

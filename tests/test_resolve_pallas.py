@@ -599,3 +599,55 @@ def test_scatter_planar_layout_matches_nhwc():
         )
     )
     np.testing.assert_array_equal(planar, nhwc)
+
+
+def test_vmem_budget_fallback_to_binned(reference_data, monkeypatch):
+    """A too-small VMEM budget (wrong guess on an untested TPU
+    generation, or the NRV2_WINDOWED_VMEM_BUDGET override) must degrade
+    mode='auto' to the binned kernel -- bit-exact, never a hard compile
+    error."""
+    from neural_renderer_v2_pytorch_tpu.ops import resolve_pallas as rp
+
+    monkeypatch.setenv("NRV2_WINDOWED_VMEM_BUDGET", "4096")
+    rp._windowed_vmem_budget.cache_clear()
+    try:
+        assert rp._pick_mode("auto", 128, None, True, 6) == "binned"
+
+        vertices, faces = nr.load_obj(str(reference_data / "teapot.obj"))
+        renderer = nr.Renderer()
+        renderer.viewpoints = nr.get_points_from_angles(2.732, 30, 45)
+        tv = renderer.transform_vertices(jnp.asarray(vertices[None]))
+        fv = jnp.take(tv, jnp.asarray(faces), axis=1)
+        ref = np.asarray(compute_face_index_map(fv, 64, 0.1, 100.0, True, 16))
+        pal = np.asarray(
+            compute_face_index_map_pallas(
+                fv, 64, 0.1, 100.0, True, interpret=True, mode="auto"
+            )
+        )
+        assert (ref == pal).all()
+    finally:
+        monkeypatch.delenv("NRV2_WINDOWED_VMEM_BUDGET")
+        rp._windowed_vmem_budget.cache_clear()
+
+
+def test_vmem_probe_walkdown(monkeypatch):
+    """On an unmeasured device generation the budget walks down probe by
+    probe instead of hard-coding 12 MB; all probes failing means 'always
+    binned' (budget 0), not an error."""
+    from neural_renderer_v2_pytorch_tpu.ops import resolve_pallas as rp
+
+    class FakeDev:
+        device_kind = "TPU v3"
+
+    monkeypatch.setattr(rp.jax, "devices", lambda: [FakeDev()])
+
+    rp._windowed_vmem_budget.cache_clear()
+    monkeypatch.setattr(rp, "_probe_vmem_budget", lambda b: b <= 6 * 2**20)
+    assert rp._windowed_vmem_budget() == 6 * 2**20
+
+    rp._windowed_vmem_budget.cache_clear()
+    monkeypatch.setattr(rp, "_probe_vmem_budget", lambda b: False)
+    assert rp._windowed_vmem_budget() == 0
+    assert rp._pick_mode("auto", 32, None, False, 0) == "binned"
+
+    rp._windowed_vmem_budget.cache_clear()
