@@ -1,8 +1,11 @@
-"""Chained-step component profiler.
+"""Chained-step component profiler (scan-differenced device times).
 
 Every iteration's input depends on the previous output (a tiny additive
 perturbation), so no host/relay layer can elide, cache, or reorder the
-device work; wall-clock / N is true device time + per-step dispatch.
+device work.  Each stage runs as ONE jitted ``lax.scan`` chain at two
+lengths and the difference is divided out -- pure device time, no
+per-step dispatch (the old per-call loop buried sub-ms stages under the
+~1 ms tunnel dispatch cost).
 
 Usage: PYTHONPATH=. python benchmarks/prof.py [--image-size 256] [--iters 24]
 """
@@ -55,15 +58,29 @@ def main():
     N = args.iters
 
     def chain(label, step, x0):
-        """step: x -> (x_next, probe); times N chained calls."""
-        jitted = jax.jit(step)
-        x = jitted(x0)
-        jax.block_until_ready(x)
-        t0 = time.perf_counter()
-        for _ in range(N):
-            x = jitted(x)
-        jax.block_until_ready(x)
-        print("%-40s %8.3f ms" % (label, (time.perf_counter() - t0) / N * 1e3))
+        """step: x -> x_next; scan-differenced device time per step."""
+        def wall(n):
+            @jax.jit
+            def run(x):
+                def body(x, _):
+                    return step(x), None
+                x, _ = jax.lax.scan(body, x, None, length=n)
+                return x
+            o = run(x0 + jnp.float32(1e-5))
+            jax.block_until_ready(o)
+            _ = float(jnp.sum(o))
+            best = float("inf")
+            for r in range(2):
+                xi = x0 + jnp.float32(1e-6 * r)
+                jax.block_until_ready(xi)
+                t0 = time.perf_counter()
+                o = run(xi)
+                jax.block_until_ready(o)
+                _ = float(jnp.sum(o))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        t = max(wall(5 * N) - wall(N), 0.0) / (4 * N) * 1e3
+        print("%-40s %8.3f ms" % (label, t))
 
     def perturb(x, probe):
         # large enough to actually change x's bits (defeats relay-side
@@ -103,6 +120,38 @@ def main():
         return perturb(x, jnp.sum(cm))
 
     chain("weight+coordinate from gathered", s_wm, fvm0)
+
+    # --- backward scatters -------------------------------------------------
+    from neural_renderer_v2_pytorch_tpu.ops.resolve_pallas import (
+        scatter_to_faces_pallas,
+    )
+
+    fim_np = np.asarray(fim0)  # numpy closure (see README caveats)
+    g6 = jnp.asarray(
+        np.random.RandomState(0).randn(1, 6, S, S).astype("float32")
+    )
+
+    def s_scatter(x):
+        out = scatter_to_faces_pallas(x, fim_np, f.shape[0], planar=True)
+        return perturb(x, jnp.sum(out))
+
+    chain("pixel->face scatter bwd (6 planes)", s_scatter, g6)
+
+    from neural_renderer_v2_pytorch_tpu.ops.gather_resolve import (
+        gather_face_vertices, slot_occupancy,
+    )
+
+    occ0 = slot_occupancy(np.asarray(f), v.shape[0], planar=True)
+
+    def s_gather_fb(x):
+        g = jax.grad(
+            lambda t: jnp.sum(
+                gather_face_vertices(t, fj, "pallas", occ0, True) ** 2
+            )
+        )(x)
+        return perturb(x, jnp.sum(g))
+
+    chain("vertex gather fwd + slot-scatter bwd", s_gather_fb, tv0)
 
     sil0 = (fim0 >= 0).astype(jnp.float32)[:, None]
     cm0 = shading.coordinate_planes(

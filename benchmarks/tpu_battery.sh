@@ -16,6 +16,9 @@ if ! timeout 120 python -c "import jax; assert jax.default_backend()=='tpu'" 2>/
 fi
 set -x
 {
+  echo "--- hardware parity tier (test_tpu_hardware.py, compiled kernels) ---"
+  NR_TEST_TPU=1 timeout 1800 python -m pytest tests/test_tpu_hardware.py \
+    --noconftest -q
   echo "--- bench.py ---"
   timeout 900 python bench.py
   echo "--- kernel_census (single step) ---"

@@ -367,6 +367,13 @@ def _windowed_kernel(
                         hit = accepts[0]
                         for aj in accepts[1:]:
                             hit |= aj
+                        # NOTE: gating these stores behind a scalar
+                        # pl.when(jnp.any(hit)) was measured 70% SLOWER
+                        # (0.36 -> 0.66 ms resolve fwd at 512^2/2.4K,
+                        # 3 interleaved reps): the branch breaks
+                        # Mosaic's window-loop pipelining, costing far
+                        # more than the ~130-cycle fixed per-window
+                        # store overhead it was meant to skip.
                         pltpu.store(depth_ref.at[0, rows, cols], d, mask=hit)
 
                         def cascade(vals):
@@ -1334,6 +1341,90 @@ def _scatter_kernel(
         jax.lax.fori_loop(0, n_words, word_body, 0)
 
 
+def _scatter_kernel_patch(
+    cnt_ref,     # [1, 1, n_strips] int32 SMEM (see _scatter_kernel)
+    list_ref,    # [1, n_strips, n_chunks] int32 SMEM (or bitpacked mask)
+    fim_ref,     # [1, ph, pw] int32: one SPATIAL patch of the index map
+    grad_ref,    # [1, D, ph, pw] f32: the matching gradient patch
+    out_ref,     # [1, D, nf_p] f32: the whole per-face accumulator
+    *,
+    ph,
+    pw,
+    face_chunk,
+    n_chunks,
+    num_attrs,
+    use_list,
+):
+    """:func:`_scatter_kernel` with the (ph, pw) SPATIAL patch reorder
+    moved INTO the BlockSpec index map: grid step t streams patch
+    (t // nx, t % nx) of the raw [bs, D, H, W] planes straight from HBM,
+    so the two full-image XLA relayout copies the old path paid (12 MB
+    at 512^2 x 6 planes -- 2 of the census's 64 bench-step kernels) do
+    not exist at all.  The one-hot math is identical, just evaluated per
+    pw-lane sub-row: ph dots of [D, pw] x [K, pw] contract the same
+    lanes as one [D, ph*pw] x [K, ph*pw] dot (the MXU processes 128
+    contraction lanes per pass either way, accumulating passes in f32
+    lane order -- on hardware the sums match the strip kernel's;
+    interpret mode may round differently within the bf16-split bound)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    g = grad_ref[0]                          # [D, ph, pw] f32
+    g_hi = g.astype(jnp.bfloat16)
+    g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    fim = fim_ref[0]                         # [ph, pw] int32
+
+    def accumulate(c):
+        ids = c * face_chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (face_chunk, 1), 0
+        )
+
+        def dot_t(a, b):  # [D, pw] x [K, pw] -> [D, K], contract lanes
+            return jax.lax.dot_general(
+                a, b,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        acc_hi = acc_lo = None
+        for j in range(ph):
+            one_hot = (fim[j][None] == ids).astype(jnp.bfloat16)  # [K, pw]
+            dh = dot_t(g_hi[:, j], one_hot)
+            dl = dot_t(g_lo[:, j], one_hot)
+            acc_hi = dh if acc_hi is None else acc_hi + dh
+            acc_lo = dl if acc_lo is None else acc_lo + dl
+        col = pl.multiple_of(c * face_chunk, 128)
+        out_ref[0, :, pl.ds(col, face_chunk)] += acc_hi + acc_lo
+
+    if use_list:
+        def chunk_body(i, _):
+            accumulate(list_ref[0, t, i])
+            return 0
+
+        jax.lax.fori_loop(0, cnt_ref[0, 0, t], chunk_body, 0)
+    else:
+        n_words = -(-n_chunks // 32)
+
+        def word_body(w, _):
+            word = list_ref[0, t, w]
+
+            @pl.when(word != 0)
+            def _word_active():
+                def bit_body(b, _):
+                    @pl.when(((word >> b) & 1) != 0)
+                    def _acc():
+                        accumulate(w * 32 + b)
+                    return 0
+
+                jax.lax.fori_loop(0, 32, bit_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_words, word_body, 0)
+
+
 # SMEM is ~1 MB on current TPUs (a 1.7 MB list was rejected by the
 # compiler with "Allocation would exceed memory (size=1048576)"); keep
 # half for the occupancy structures
@@ -1418,6 +1509,77 @@ def slot_scatter_occupancy(ids, num_rows_out, strip=2048, face_chunk=128):
     else:
         active = _bitpack_mask_np(occ)
     return cnt, active
+
+
+def _scatter_patch_blockspec(grad_map, face_index_map, num_faces, ph, pw,
+                             face_chunk, interpret, planar_out):
+    """Zero-copy body of the planar patch-reordered scatter: grid step
+    t = (row_block * nx + col_block) DMAs spatial patch (t // nx, t % nx)
+    of the raw [bs, D, H, W] gradient planes / [bs, H, W] index map via
+    its BlockSpec index maps -- no XLA relayout copies (the old path
+    paid 2 full-image transposes, 12 MB at 512^2 x 6 planes).  The
+    occupancy build reduces over the in-patch axes of a pure reshape, so
+    its strip order matches the grid's (row-block, col-block) raster
+    order by construction."""
+    bs, D, H, W = grad_map.shape
+    Hp, Wp = -(-H // ph) * ph, -(-W // pw) * pw
+    if (Hp, Wp) != (H, W):
+        grad_map = jnp.pad(
+            grad_map, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W))
+        )
+        face_index_map = jnp.pad(
+            face_index_map, ((0, 0), (0, Hp - H), (0, Wp - W)),
+            constant_values=-1,
+        )
+    ny, nx = Hp // ph, Wp // pw
+    strip, face_chunk, pad_p, n_strips, pad, nf_p, n_chunks, use_list = (
+        _scatter_geometry(Hp * Wp, num_faces, ph * pw, face_chunk)
+    )
+    assert strip == ph * pw and pad_p == 0 and n_strips == ny * nx, (
+        strip, ph * pw, pad_p, n_strips, ny, nx,
+    )
+    chunk_of = jnp.where(
+        face_index_map < 0, -1, face_index_map // face_chunk
+    ).reshape(bs, ny, ph, nx, pw)
+    occ = jnp.any(
+        chunk_of[..., None] == jnp.arange(n_chunks, dtype=jnp.int32),
+        axis=(2, 4),
+    ).reshape(bs, n_strips, n_chunks)
+    cnt = jnp.sum(occ, axis=-1).astype(jnp.int32)
+    if use_list:
+        active = jnp.argsort(~occ, axis=-1, stable=True).astype(jnp.int32)
+    else:
+        active = _bitpack_mask(occ)
+    n_list = active.shape[-1]
+    kernel = functools.partial(
+        _scatter_kernel_patch,
+        ph=ph, pw=pw, face_chunk=face_chunk, n_chunks=n_chunks,
+        num_attrs=D, use_list=use_list,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bs, n_strips),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, n_strips), lambda b, t: (b, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_strips, n_list), lambda b, t: (b, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, ph, pw), lambda b, t: (b, t // nx, t % nx)),
+            pl.BlockSpec(
+                (1, D, ph, pw), lambda b, t: (b, 0, t // nx, t % nx)
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, D, nf_p), lambda b, t: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bs, D, nf_p), jnp.float32),
+        interpret=interpret,
+    )(cnt.reshape(bs, 1, n_strips), active, face_index_map, grad_map)
+    if planar_out:
+        return out[:, :, :num_faces]
+    return out[:, :, :num_faces].transpose(0, 2, 1)
 
 
 @functools.partial(
@@ -1528,6 +1690,23 @@ def scatter_to_faces_pallas(
     if patch is not None and H >= 2 * patch[0] and W >= patch[1]:
         ph, pw = patch
         Hp, Wp = -(-H // ph) * ph, -(-W // pw) * pw
+        if planar and occupancy is None and num_faces >= 16384 and (
+            _scatter_geometry(Hp * Wp, num_faces, ph * pw, face_chunk)[0]
+            == ph * pw
+        ):
+            # zero-copy patch path: the reorder lives in the kernel's
+            # BlockSpec index map (_scatter_kernel_patch); only
+            # unaligned sizes pay a pad.  Measured v5e crossover
+            # (benchmarks/ab_scatter_blockspec.py, same-session
+            # interleaved): at 158K faces the BlockSpec DMA wins 0.74 vs
+            # 0.98 ms (the 12 MB of XLA relayout copies disappear); at
+            # 2.4K faces it LOSES 0.15 vs 0.09 ms (short kernel, the
+            # per-patch strided plane DMAs don't amortize), so small
+            # meshes keep the copy path.
+            return _scatter_patch_blockspec(
+                grad_map, face_index_map, num_faces, ph, pw, face_chunk,
+                interpret, planar_out,
+            )
         fim2 = jnp.pad(
             face_index_map, ((0, 0), (0, Hp - H), (0, Wp - W)),
             constant_values=-1,

@@ -651,3 +651,47 @@ def test_vmem_probe_walkdown(monkeypatch):
     assert rp._pick_mode("auto", 32, None, False, 0) == "binned"
 
     rp._windowed_vmem_budget.cache_clear()
+
+
+def test_scatter_patch_blockspec_matches_copy_path():
+    """The zero-copy patch scatter (_scatter_kernel_patch: reorder via
+    BlockSpec index maps) == the relayout-copy path and the segment-sum
+    oracle, including a pad-needing odd size."""
+    from neural_renderer_v2_pytorch_tpu.ops.gather_resolve import (
+        _scatter_to_faces,
+    )
+    from neural_renderer_v2_pytorch_tpu.ops.resolve_pallas import (
+        scatter_to_faces_pallas,
+    )
+
+    rng = np.random.RandomState(3)
+    for H, W in [(128, 128), (96, 160), (130, 136)]:
+        nf = 301
+        fim = jnp.asarray(rng.randint(-1, nf, size=(2, H, W)).astype("int32"))
+        g = rng.randn(2, 7, H, W).astype("float32")
+        # call the blockspec body directly: the public entry gates it to
+        # >= 16384 faces (measured crossover), too big for interpret mode
+        from neural_renderer_v2_pytorch_tpu.ops.resolve_pallas import (
+            _scatter_patch_blockspec,
+        )
+
+        new = np.asarray(
+            _scatter_patch_blockspec(
+                jnp.asarray(g), fim, nf, 16, 128, 128,
+                interpret=True, planar_out=False,
+            )
+        )
+        old = np.asarray(
+            scatter_to_faces_pallas(
+                jnp.asarray(g), fim, nf, interpret=True, planar=True,
+                patch=None,
+            )
+        )
+        ref = np.asarray(
+            _scatter_to_faces(
+                jnp.asarray(g.transpose(0, 2, 3, 1)), fim, nf
+            )
+        )
+        scale = max(np.abs(ref).max(), 1e-6)
+        np.testing.assert_allclose(new, old, atol=1e-5 * scale)
+        np.testing.assert_allclose(new, ref, atol=1e-4 * scale)
