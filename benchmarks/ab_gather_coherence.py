@@ -57,9 +57,8 @@ def main():
     tv = perspective(look_at(jnp.asarray(lv[None]), jnp.asarray(eye)), angle=30.0)
     fv = jnp.asarray(np.asarray(jnp.take(tv, jnp.asarray(lf), axis=1)))
     S = 512  # the AA canvas of the 256^2 bench rows
-    th, tw = ltex.shape[1:3] if ltex.ndim == 4 else ltex.shape[2:]
     tex = np.asarray(ltex[None]) if ltex.ndim == 3 else np.asarray(ltex)
-    th, tw = tex.shape[2], tex.shape[3]
+    th, tw = tex.shape[2], tex.shape[3]  # [bs, 3, th, tw]
     T = th * tw
 
     # latch UVs, rebuild the sampler's real anchor ids

@@ -259,9 +259,15 @@ def main():
         t = device_time(scatter_step, g6, **sc_n)
         ci_note = ""
     bytes_scatter = coords_dim * S * S * 4 + S * S * 4 + nf * coords_dim * 4
-    # one-hot build: EXACT active (strip, chunk) pairs for the kernel's
-    # patch-reordered layout, computed from the real fim; ~2 lane-ops per
-    # one-hot element (compare + select/cast)
+    if nf < 16384:
+        # the copy path's two full-image relayouts (see
+        # scatter_to_faces_pallas patch gating)
+        bytes_scatter += 2 * 2 * coords_dim * S * S * 4
+    # EXACT active (strip, chunk) pairs for the kernel's patch-reordered
+    # layout, computed from the real fim; per pair the kernel pays
+    #   one-hot build: 2 lane-ops per [K, T] element (compare + cast)
+    #   MXU: 2 dots (bf16 hi+lo) x T/128 contraction passes
+    #   accumulator RMW: ~8 cycles on the [D, K] slice
     ph, pw = 16, 128
     patch_fim = fim[0].reshape(S // ph, ph, S // pw, pw).transpose(
         0, 2, 1, 3).reshape(-1)
@@ -269,8 +275,10 @@ def main():
     ch = np.where(patch_fim < 0, -1, patch_fim // K).reshape(-1, strip)
     pairs = sum(len(np.unique(r[r >= 0])) for r in ch)
     lane_ops = pairs * K * strip * 2
+    mxu_rmw_cycles = pairs * (2 * strip // 128 + 8)
+    lane_ops += mxu_rmw_cycles * (VPU_LANEOPS / 0.94e9)  # cycles -> lane-op eq
     report("pixel->face scatter bwd", t, bytes_scatter, lane_ops,
-           "one-hot build over active pairs" + ci_note)
+           "%d active pairs: one-hot + MXU + RMW%s" % (pairs, ci_note))
 
     # --- NMR differentiation backward --------------------------------------
     coord = jnp.asarray(np.random.RandomState(1).rand(1, 2, S, S).astype("f"))

@@ -78,6 +78,22 @@ from .resolve import (
 )
 
 
+def _vmem_compiler_params(interpret, limit=None):
+    """Raise Mosaic's scoped-VMEM limit for kernels whose resident
+    output planes exceed the 16 MB default.  The current libtpu snapshot
+    enforces the default at COMPILE time ("Scoped allocation with size
+    17.00M and limit 16.00M exceeded" -- observed 2026-08 for any
+    windowed resolve latching >= 15 planes at 512^2, i.e. every textured
+    render), so the windowed/binned resolves pin the limit to the
+    ``_windowed_vmem_budget`` ceiling plus stream headroom.  None in
+    interpret mode (no Mosaic)."""
+    if interpret:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=(limit or _windowed_vmem_budget()) + 32 * 1024 * 1024
+    )
+
+
 def _face_accept(xp, yp, coef, iz, det, bbox, depth, near, far):
     """Accept mask + candidate depth for one face over a pixel window:
     the shared per-pixel math (:func:`resolve.face_candidate` -- the
@@ -603,6 +619,7 @@ def _run_windowed(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=_vmem_compiler_params(interpret),
     )(*inputs)
 
     def crop(x):  # padded canvas -> requested window
@@ -1031,6 +1048,7 @@ def _run_binned(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=_vmem_compiler_params(interpret),
         interpret=interpret,
     )(*inputs)
 
@@ -1053,7 +1071,8 @@ def _probe_vmem_budget(budget):
     def k(o_ref):
         o_ref[...] = jnp.zeros_like(o_ref)
     fn = pl.pallas_call(
-        k, out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32)
+        k, out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        compiler_params=_vmem_compiler_params(False, limit=budget),
     )
     try:
         jax.jit(fn).lower().compile()
