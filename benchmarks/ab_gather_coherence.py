@@ -118,7 +118,9 @@ def main():
 
         def step(flat, ids_np=ids_np):
             taps = [
-                jnp.take_along_axis(flat, jnp.asarray(ids_np + off), axis=2)
+                jnp.take_along_axis(
+                    flat, jnp.asarray(ids_np + off)[:, None], axis=2
+                )
                 for off in (0, 1, tw, tw + 1)
             ]
             s = sum(jnp.sum(t) for t in taps)
