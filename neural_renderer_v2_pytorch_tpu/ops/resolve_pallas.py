@@ -239,6 +239,10 @@ def _windowed_kernel(
     rs_ref,          # [1] int32: global image row of output row 0
     nf_ref,          # [1] int32: real (unpadded) face count
     consts_ref,      # [1, 1, 17, K] f32: per-face constants, chunk order
+                     # (invalid faces carry the KILLED sentinel bbox --
+                     # see the prescheduling prepass in _run_windowed)
+    tbl_ref,         # [1, 1, gpc, 4] int32: per-group window table
+                     # (r0, n_rwin, c0, n_cwin), prescheduled in XLA
     coords_in_ref,   # [1, 1, 9, K] f32 (latch only)
     attrs_ref,       # [1, 1, A, K] f32 (only when num_attrs > 0)
     # outputs (VMEM, resident across the chunk axis)
@@ -259,7 +263,6 @@ def _windowed_kernel(
     latch,
     coords_dim,
     group_size,
-    draw_backside,
 ):
     """Bin-free z-resolve: the whole pixel band stays VMEM-resident and
     every face touches only the (row_window x col_window) slabs covering
@@ -274,11 +277,15 @@ def _windowed_kernel(
     prepass (argsort compaction + per-tile constant gathers -- ~17% of
     the step at 158K faces), this kernel gets it from 128-aligned dynamic
     LANE slices, so the prepass disappears entirely: faces stream in id
-    order straight from a reshape, and degenerate/backface culls are two
-    scalar predicates per face.  The sequential z-accept semantics are
-    identical (id order IS stream order here).  Preferred whenever the
-    resident planes fit VMEM (see ``_run_windowed``); the binned kernel
-    remains for images too large to keep resident.
+    order straight from a reshape.  Degenerate/backface culls and the
+    per-group union-window coordinates are PRESCHEDULED by a ~20-vector-
+    op XLA prepass in ``_run_windowed`` (killed sentinel bboxes + the
+    SMEM window table), so the scalar core does no per-face predicate or
+    window math at all -- it reads 4 ints per group.  The sequential
+    z-accept semantics are identical (id order IS stream order here).
+    Preferred whenever the resident planes fit VMEM (see
+    ``_run_windowed``); the binned kernel remains for images too large
+    to keep resident.
     """
     c = pl.program_id(1)
     rw, cw = row_window, col_window
@@ -316,43 +323,18 @@ def _windowed_kernel(
                 return cs[:9], cs[9:12], cs[12], cs[13:17], fid
 
             members = [face(k) for k in ks]
-            valids = []
-            for j in range(G):
-                coef, _, det, _, _ = members[j]
-                ok = (base + j < n_in_chunk) & (jnp.abs(det) >= DEGENERATE_EPS)
-                if not draw_backside:
-                    ok &= ~face_backside(coef)
-                valids.append(ok)
-            any_valid = valids[0]
-            for vj in valids[1:]:
-                any_valid |= vj
+            # the prepass killed invalid faces' bboxes (degenerate,
+            # culled backface, chunk padding) to an off-screen sentinel,
+            # so the per-pixel bbox reject masks them with NO per-face
+            # scalar predicates here; the union window coordinates come
+            # prescheduled from the SMEM table
+            r0 = tbl_ref[0, 0, i, 0]
+            n_rwin = tbl_ref[0, 0, i, 1]
+            c0 = tbl_ref[0, 0, i, 2]
+            n_cwin = tbl_ref[0, 0, i, 3]
 
-            @pl.when(any_valid)
+            @pl.when((n_rwin > 0) & (n_cwin > 0))
             def _group():
-                # union bbox over the valid members
-                xmin_u = xmax_u = ymin_u = ymax_u = None
-                for j in range(G):
-                    bb = members[j][3]
-                    if xmin_u is None:
-                        # the first VALID face dominates via where(valid)
-                        big = jnp.float32(4.0)  # off-screen NDC sentinel
-                        xmin_u = jnp.where(valids[j], bb[0], big)
-                        xmax_u = jnp.where(valids[j], bb[1], -big)
-                        ymin_u = jnp.where(valids[j], bb[2], big)
-                        ymax_u = jnp.where(valids[j], bb[3], -big)
-                    else:
-                        xmin_u = jnp.where(valids[j], jnp.minimum(xmin_u, bb[0]), xmin_u)
-                        xmax_u = jnp.where(valids[j], jnp.maximum(xmax_u, bb[1]), xmax_u)
-                        ymin_u = jnp.where(valids[j], jnp.minimum(ymin_u, bb[2]), ymin_u)
-                        ymax_u = jnp.where(valids[j], jnp.maximum(ymax_u, bb[3]), ymax_u)
-                r0, n_rwin = _row_windows(
-                    (0.0, 0.0, ymin_u, ymax_u), row_base.astype(jnp.float32),
-                    num_rows, rw, S,
-                )
-                c0, n_cwin = _col_windows(
-                    (xmin_u, xmax_u, 0.0, 0.0), cw, S
-                )
-
                 def rwin_body(wr, _):
                     start_r = pl.multiple_of(
                         jnp.minimum(r0 + wr * rw, num_rows - rw), 8
@@ -376,7 +358,6 @@ def _windowed_kernel(
                             aj, zj = _face_accept(
                                 xp, yp, coef, iz, det, bbox, d, near, far
                             )
-                            aj &= valids[j]
                             d = jnp.where(aj, zj, d)
                             accepts.append(aj)
 
@@ -513,9 +494,57 @@ def _run_windowed(
     else:
         consts_ch = chunked(face_constants(face_vertices))  # [bs, nf, 17]
 
+    # --- prescheduled groups (vectorized XLA prepass) -------------------
+    # The kernel used to spend ~150+ scalar cycles per face group on
+    # per-face valid predicates, the union-bbox fold, and the window
+    # integer math.  All of that is data the constants already determine,
+    # so it moves here as ~20 fused vector ops over [bs, nc, K]:
+    #   1. KILL invalid faces' bboxes (degenerate / culled backface /
+    #      chunk padding) to an impossible sentinel -- the kernel's
+    #      existing per-pixel bbox reject then makes them accept nothing,
+    #      bit-exactly replacing the scalar `valids` masks.
+    #   2. Precompute each G-face group's union-bbox window coordinates
+    #      (r0, n_rwin, c0, n_cwin) into an SMEM table; an all-invalid
+    #      group yields n_rwin <= 0 and its window loops never run.
+    assert face_chunk % group_size == 0, (face_chunk, group_size)
+    gpc = face_chunk // group_size
+    det = consts_ch[:, :, 12]                     # [bs, nc, K]
+    valid = jnp.abs(det) >= DEGENERATE_EPS
+    if not draw_backside:
+        valid &= ~face_backside(tuple(consts_ch[:, :, j] for j in range(9)))
+    sent = jnp.asarray([4.0, -4.0, 4.0, -4.0], jnp.float32)
+    bbox_k = jnp.where(
+        valid[:, :, None], consts_ch[:, :, 13:17],
+        sent[None, None, :, None],
+    )
+    consts_ch = jnp.concatenate([consts_ch[:, :, :13], bbox_k], axis=2)
+
+    gb = bbox_k.reshape(bs, n_chunks, 4, gpc, group_size)
+    xmin_u, xmax_u = gb[:, :, 0].min(-1), gb[:, :, 1].max(-1)
+    ymin_u, ymax_u = gb[:, :, 2].min(-1), gb[:, :, 3].max(-1)
+    # mirror _row_windows / _col_windows exactly (any conservative cover
+    # stays bit-exact -- re-processing a row cannot re-accept -- but the
+    # exact mirror keeps the schedule identical to the in-kernel one)
+    S_f = float(image_size)
+    half = (S_f - 1.0) * 0.5
+    rbf = jnp.asarray(row_start, jnp.float32)
+    y_lo = jnp.floor(ymin_u * (S_f * 0.5) + half)
+    y_hi = jnp.ceil(ymax_u * (S_f * 0.5) + half)
+    r_lo = jnp.clip(y_lo - rbf, 0.0, num_rows).astype(jnp.int32)
+    r_hi = jnp.clip(y_hi - rbf + 1.0, 0.0, num_rows).astype(jnp.int32)
+    g_r0 = (r_lo // 8) * 8
+    g_nr = (r_hi - g_r0 + row_window - 1) // row_window
+    x_lo = jnp.floor(xmin_u * (S_f * 0.5) + half)
+    x_hi = jnp.ceil(xmax_u * (S_f * 0.5) + half)
+    c_lo = jnp.clip(x_lo, 0.0, S_f).astype(jnp.int32)
+    c_hi = jnp.clip(x_hi + 1.0, 0.0, S_f).astype(jnp.int32)
+    g_c0 = (c_lo // 128) * 128
+    g_nc = (c_hi - g_c0 + col_window - 1) // col_window
+    tbl = jnp.stack([g_r0, g_nr, g_c0, g_nc], -1)  # [bs, nc, gpc, 4] i32
+
     rs_arr = jnp.asarray(row_start, jnp.int32).reshape(1)
     nf_arr = jnp.full((1,), nf, jnp.int32)
-    inputs = [rs_arr, nf_arr, consts_ch]
+    inputs = [rs_arr, nf_arr, consts_ch, tbl]
 
     def smem1(shape):
         return pl.BlockSpec(shape, lambda b, c: (0,) * len(shape),
@@ -527,7 +556,13 @@ def _run_windowed(
             memory_space=pltpu.SMEM,
         )
 
-    in_specs = [smem1((1,)), smem1((1,)), chunk_spec(17)]
+    in_specs = [
+        smem1((1,)), smem1((1,)), chunk_spec(17),
+        pl.BlockSpec(
+            (1, 1, gpc, 4), lambda b, c: (b, c, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+    ]
     if latch:
         if coords_ch is not None:
             inputs.append(coords_ch)
@@ -595,7 +630,6 @@ def _run_windowed(
         latch=latch,
         coords_dim=coords_dim,
         group_size=group_size,
-        draw_backside=draw_backside,
     )
 
     def wrapped(*refs):
@@ -603,13 +637,14 @@ def _run_windowed(
         rs_r = refs.pop(0)
         nf_r = refs.pop(0)
         consts_r = refs.pop(0)
+        tbl_r = refs.pop(0)
         coords_in_r = refs.pop(0) if latch else None
         attrs_r = refs.pop(0) if num_attrs else None
         index_r = refs.pop(0)
         depth_r = refs.pop(0)
         coords_r = refs.pop(0) if latch else None
         attr_out_r = refs.pop(0) if (latch and num_attrs) else None
-        kernel(rs_r, nf_r, consts_r, coords_in_r, attrs_r, index_r,
+        kernel(rs_r, nf_r, consts_r, tbl_r, coords_in_r, attrs_r, index_r,
                depth_r, coords_r, attr_out_r)
 
     outs = pl.pallas_call(
