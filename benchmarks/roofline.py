@@ -45,11 +45,12 @@ HBM_GBS = 819.0
 VPU_LANEOPS = 8 * 128 * 4 * 0.94e9
 
 # lane-ops per face per window lane in _windowed_kernel's accept path
-# (face_candidate + z-accept + valid mask + depth select; the divide
-# counted as 1 -- on real hardware it's a few passes, so the roof is
-# conservative): bbox rejects 7, barycentrics 12, sign tests 6, zp 6,
-# near/far clip 5, accept 4, valid & 1, depth select 1.
-ACCEPT_OPS = 42
+# (face_candidate + z-accept + depth select; the divide counted as 1 --
+# on real hardware it's a few passes, so the roof is conservative):
+# bbox rejects 7, barycentrics 12, sign tests 6, zp 6, near/far clip 5,
+# accept 4, depth select 1.  (The former per-face valid mask is gone --
+# round 4 prescheduled the culls into killed sentinel bboxes.)
+ACCEPT_OPS = 41
 
 
 def shared_ops(G, coords_dim):
