@@ -522,24 +522,17 @@ def _run_windowed(
     gb = bbox_k.reshape(bs, n_chunks, 4, gpc, group_size)
     xmin_u, xmax_u = gb[:, :, 0].min(-1), gb[:, :, 1].max(-1)
     ymin_u, ymax_u = gb[:, :, 2].min(-1), gb[:, :, 3].max(-1)
-    # mirror _row_windows / _col_windows exactly (any conservative cover
-    # stays bit-exact -- re-processing a row cannot re-accept -- but the
-    # exact mirror keeps the schedule identical to the in-kernel one)
-    S_f = float(image_size)
-    half = (S_f - 1.0) * 0.5
+    # the SAME _row_windows/_col_windows the kernel used to evaluate per
+    # group, applied vectorized over every group at once (identical
+    # schedule; and any conservative cover stays bit-exact anyway --
+    # re-processing a row cannot re-accept)
     rbf = jnp.asarray(row_start, jnp.float32)
-    y_lo = jnp.floor(ymin_u * (S_f * 0.5) + half)
-    y_hi = jnp.ceil(ymax_u * (S_f * 0.5) + half)
-    r_lo = jnp.clip(y_lo - rbf, 0.0, num_rows).astype(jnp.int32)
-    r_hi = jnp.clip(y_hi - rbf + 1.0, 0.0, num_rows).astype(jnp.int32)
-    g_r0 = (r_lo // 8) * 8
-    g_nr = (r_hi - g_r0 + row_window - 1) // row_window
-    x_lo = jnp.floor(xmin_u * (S_f * 0.5) + half)
-    x_hi = jnp.ceil(xmax_u * (S_f * 0.5) + half)
-    c_lo = jnp.clip(x_lo, 0.0, S_f).astype(jnp.int32)
-    c_hi = jnp.clip(x_hi + 1.0, 0.0, S_f).astype(jnp.int32)
-    g_c0 = (c_lo // 128) * 128
-    g_nc = (c_hi - g_c0 + col_window - 1) // col_window
+    g_r0, g_nr = _row_windows(
+        (0.0, 0.0, ymin_u, ymax_u), rbf, num_rows, row_window, image_size
+    )
+    g_c0, g_nc = _col_windows(
+        (xmin_u, xmax_u, 0.0, 0.0), col_window, image_size
+    )
     tbl = jnp.stack([g_r0, g_nr, g_c0, g_nc], -1)  # [bs, nc, gpc, 4] i32
 
     rs_arr = jnp.asarray(row_start, jnp.int32).reshape(1)
@@ -672,6 +665,8 @@ def _binned_kernel(
     cnt_ref,         # [1, 1, n_tiles] int32: faces binned to each tile
     ids_ref,         # [1, 1, 1, K] int32: original face ids, bin order
     consts_ref,      # [1, 1, 17, K] f32: binned per-face constants
+                     # (tail slots past cnt carry KILLED sentinel bboxes)
+    tbl_ref,         # [1, 1, gpc, 2] int32: per-group (r0, n_rwin)
     coords_in_ref,   # [1, 1, 9, K] f32: binned vertex coords (latch only)
     attrs_ref,       # [1, 1, A, K] f32 (only when num_attrs > 0)
     # outputs (VMEM, resident across the chunk axis)
@@ -756,22 +751,12 @@ def _binned_kernel(
                 return cs[:9], cs[9:12], cs[12], cs[13:17], ids_ref[0, 0, 0, kk]
 
             members = [face(k) for k in ks]
-            valids = [base + j < n_in_chunk for j in range(G)]
-
-            # union y-range over the valid members (face 0 always valid here)
-            ymin_u = members[0][3][2]
-            ymax_u = members[0][3][3]
-            for j in range(1, G):
-                ymin_u = jnp.where(
-                    valids[j], jnp.minimum(ymin_u, members[j][3][2]), ymin_u
-                )
-                ymax_u = jnp.where(
-                    valids[j], jnp.maximum(ymax_u, members[j][3][3]), ymax_u
-                )
-            r0, n_win = _row_windows(
-                (0.0, 0.0, ymin_u, ymax_u), row_base.astype(jnp.float32),
-                tile_h, rw, image_size,
-            )
+            # tail slots (faces that missed this tile) carry KILLED
+            # sentinel bboxes from the prepass, so no per-face scalar
+            # predicates run here; the union row-window coordinates come
+            # prescheduled from the SMEM table
+            r0 = tbl_ref[0, 0, i, 0]
+            n_win = tbl_ref[0, 0, i, 1]
 
             def win_body(w, _):
                 # r0, rw, tile_h are all 8-aligned; tell Mosaic so the
@@ -790,7 +775,6 @@ def _binned_kernel(
                     aj, zj = _face_accept(
                         xp, yp, coef, iz, det, bbox, d, near, far
                     )
-                    aj &= valids[j]
                     d = jnp.where(aj, zj, d)
                     accepts.append(aj)
 
@@ -977,8 +961,40 @@ def _run_binned(
     ids = jnp.pad(order, ((0, 0), (0, 0), (0, pad)))
     ids = ids.reshape(bs, n_tiles * n_chunks, 1, face_chunk)
 
+    # --- prescheduled groups (mirror of _run_windowed's prepass) --------
+    # The binning order is a FULL permutation, so a chunk's tail slots
+    # past cnt hold real face ids that missed this tile and must accept
+    # nothing: kill their bboxes to the off-screen sentinel (replacing
+    # the kernel's per-face tail predicates), then preschedule each
+    # G-face group's row-window coordinates per tile into an SMEM table.
+    assert face_chunk % group_size == 0, (face_chunk, group_size)
+    gpc = face_chunk // group_size
+    slot = jnp.arange(n_chunks * face_chunk, dtype=jnp.int32).reshape(
+        1, 1, n_chunks, face_chunk
+    )
+    alive = (slot < cnt[:, :, None, None]).reshape(
+        bs, n_tiles * n_chunks, 1, face_chunk
+    )
+    sent = jnp.asarray([4.0, -4.0, 4.0, -4.0], jnp.float32)
+    bbox_k = jnp.where(
+        alive, consts_cm[:, :, 13:17], sent[None, None, :, None]
+    )
+    consts_cm = jnp.concatenate([consts_cm[:, :, :13], bbox_k], axis=2)
+    ymin_u = bbox_k[:, :, 2].reshape(bs, -1, gpc, group_size).min(-1)
+    ymax_u = bbox_k[:, :, 3].reshape(bs, -1, gpc, group_size).max(-1)
+    pos = jnp.arange(n_tiles * n_chunks, dtype=jnp.int32)
+    tile_y = (pos // n_chunks) // n_tile_x
+    rbf = (
+        jnp.asarray(row_start, jnp.float32)
+        + tile_y.astype(jnp.float32) * tile_h
+    )[None, :, None]
+    g_r0, g_nr = _row_windows(
+        (0.0, 0.0, ymin_u, ymax_u), rbf, tile_h, row_window, image_size
+    )
+    tbl = jnp.stack([g_r0, g_nr], -1)  # [bs, T*nc, gpc, 2] int32
+
     rs_arr = jnp.asarray(row_start, jnp.int32).reshape(1)
-    inputs = [rs_arr, cnt[:, None, :], ids, consts_cm]
+    inputs = [rs_arr, cnt[:, None, :], ids, consts_cm, tbl]
     nc = n_chunks
     def chunk_spec(d):
         return pl.BlockSpec(
@@ -1000,6 +1016,11 @@ def _run_binned(
             memory_space=pltpu.SMEM,
         ),
         chunk_spec(17),
+        pl.BlockSpec(
+            (1, 1, gpc, 2),
+            lambda b, t, c: (b, t * nc + c, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
     ]
     if latch:
         coords_src = (
@@ -1068,14 +1089,15 @@ def _run_binned(
         cnt_r = refs.pop(0)
         ids_r = refs.pop(0)
         consts_r = refs.pop(0)
+        tbl_r = refs.pop(0)
         coords_in_r = refs.pop(0) if latch else None
         attrs_r = refs.pop(0) if num_attrs else None
         index_r = refs.pop(0)
         depth_r = refs.pop(0)
         coords_r = refs.pop(0) if latch else None
         attr_out_r = refs.pop(0) if (latch and num_attrs) else None
-        kernel(rs_r, cnt_r, ids_r, consts_r, coords_in_r, attrs_r, index_r,
-               depth_r, coords_r, attr_out_r)
+        kernel(rs_r, cnt_r, ids_r, consts_r, tbl_r, coords_in_r, attrs_r,
+               index_r, depth_r, coords_r, attr_out_r)
 
     outs = pl.pallas_call(
         wrapped,
