@@ -145,6 +145,25 @@ def _col_windows(bbox, cw, image_size):
     return c0, n_win
 
 
+def _set_bit_loop(word, emit):
+    """Run ``emit(b)`` for each set bit ``b`` of the scalar ``word`` in
+    ascending order, in exactly popcount(word) iterations.  The old
+    formulation ran a masked 32-iteration loop per active word (~8
+    scalar cycles per CLEAR bit); occupancy words here are sparse, so
+    scanning only set bits cuts the scalar path ~10x.  The lowest set
+    bit's index comes from an exact f32 log2: ``word & -word`` isolates
+    a power of two, every int32 power of two (including the sign bit,
+    whose isolation is INT_MIN -> |.| = 2^31) casts to f32 exactly."""
+    def cond(wd):
+        return wd != 0
+    def body(wd):
+        low = wd & (-wd)
+        b = jnp.log2(jnp.abs(low.astype(jnp.float32))).astype(jnp.int32)
+        emit(b)
+        return wd & (wd - 1)
+    jax.lax.while_loop(cond, body, word)
+
+
 def _face_chunks_kernel(fvp_ref, consts_ref, coords_ref, *, coords_dim):
     """Per-chunk face constants (and latch coordinate rows) from planar
     face vertices -- the in-kernel twin of
@@ -1401,17 +1420,9 @@ def _scatter_kernel(
         n_words = -(-n_chunks // 32)
 
         def word_body(w, _):
-            word = list_ref[0, t, w]
-
-            @pl.when(word != 0)
-            def _word_active():
-                def bit_body(b, _):
-                    @pl.when(((word >> b) & 1) != 0)
-                    def _acc():
-                        accumulate(w * 32 + b)
-                    return 0
-
-                jax.lax.fori_loop(0, 32, bit_body, 0)
+            _set_bit_loop(
+                list_ref[0, t, w], lambda b: accumulate(w * 32 + b)
+            )
             return 0
 
         jax.lax.fori_loop(0, n_words, word_body, 0)
@@ -1485,17 +1496,9 @@ def _scatter_kernel_patch(
         n_words = -(-n_chunks // 32)
 
         def word_body(w, _):
-            word = list_ref[0, t, w]
-
-            @pl.when(word != 0)
-            def _word_active():
-                def bit_body(b, _):
-                    @pl.when(((word >> b) & 1) != 0)
-                    def _acc():
-                        accumulate(w * 32 + b)
-                    return 0
-
-                jax.lax.fori_loop(0, 32, bit_body, 0)
+            _set_bit_loop(
+                list_ref[0, t, w], lambda b: accumulate(w * 32 + b)
+            )
             return 0
 
         jax.lax.fori_loop(0, n_words, word_body, 0)
@@ -1939,35 +1942,31 @@ def _scatter_rows_kernel(
             wv = jnp.minimum(w, n_words - 1)
             word = jnp.where(w < n_words, mask_ref[0, s, wv], 0)
 
-            @pl.when(word != 0)
-            def _word_active():
-                def bit_body(b, _):
-                    c = wv * 32 + b
-                    k = c - c_lo
-                    ok = ((word >> b) & 1) != 0
-                    ok &= (k >= 0) & (k < chunks_per_part)
+            def emit(b):
+                c = wv * 32 + b
+                k = c - c_lo
+                ok = (k >= 0) & (k < chunks_per_part)
 
-                    @pl.when(ok)
-                    def _accumulate():
-                        rows = c * chunk + jax.lax.broadcasted_iota(
-                            jnp.int32, (chunk, 1), 0
+                @pl.when(ok)
+                def _accumulate():
+                    rows = c * chunk + jax.lax.broadcasted_iota(
+                        jnp.int32, (chunk, 1), 0
+                    )
+                    one_hot = (ids == rows).astype(jnp.bfloat16)  # [K, T]
+
+                    def dot_t(a):  # [D, T] x [K, T] -> [D, K]
+                        return jax.lax.dot_general(
+                            a, one_hot,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
                         )
-                        one_hot = (ids == rows).astype(jnp.bfloat16)  # [K, T]
 
-                        def dot_t(a):  # [D, T] x [K, T] -> [D, K]
-                            return jax.lax.dot_general(
-                                a, one_hot,
-                                dimension_numbers=(((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            )
+                    col = pl.multiple_of(k * chunk, 128)
+                    out_ref[0, :, pl.ds(col, chunk)] += (
+                        dot_t(g_hi) + dot_t(g_lo)
+                    )
 
-                        col = pl.multiple_of(k * chunk, 128)
-                        out_ref[0, :, pl.ds(col, chunk)] += (
-                            dot_t(g_hi) + dot_t(g_lo)
-                        )
-                    return 0
-
-                jax.lax.fori_loop(0, 32, bit_body, 0)
+            _set_bit_loop(word, emit)
             return 0
 
         jax.lax.fori_loop(0, span, word_body, 0)
@@ -2154,17 +2153,9 @@ def _gather_kernel(
         n_words = -(-n_chunks // 32)
 
         def word_body(w, _):
-            word = list_ref[0, t, w]
-
-            @pl.when(word != 0)
-            def _word_active():
-                def bit_body(b, _):
-                    @pl.when(((word >> b) & 1) != 0)
-                    def _acc():
-                        accumulate(w * 32 + b)
-                    return 0
-
-                jax.lax.fori_loop(0, 32, bit_body, 0)
+            _set_bit_loop(
+                list_ref[0, t, w], lambda b: accumulate(w * 32 + b)
+            )
             return 0
 
         jax.lax.fori_loop(0, n_words, word_body, 0)
@@ -2455,17 +2446,9 @@ def _gather3_kernel(
         n_words = -(-n_chunks // 32)
 
         def word_body(w, _):
-            word = list_ref[0, t, w]
-
-            @pl.when(word != 0)
-            def _word_active():
-                def bit_body(b, _):
-                    @pl.when(((word >> b) & 1) != 0)
-                    def _acc():
-                        accumulate(w * 32 + b)
-                    return 0
-
-                jax.lax.fori_loop(0, 32, bit_body, 0)
+            _set_bit_loop(
+                list_ref[0, t, w], lambda b: accumulate(w * 32 + b)
+            )
             return 0
 
         jax.lax.fori_loop(0, n_words, word_body, 0)
@@ -2599,17 +2582,9 @@ def _scatter3_kernel(
         n_words = -(-n_chunks // 32)
 
         def word_body(w, _):
-            word = list_ref[0, t, w]
-
-            @pl.when(word != 0)
-            def _word_active():
-                def bit_body(b, _):
-                    @pl.when(((word >> b) & 1) != 0)
-                    def _acc():
-                        accumulate(w * 32 + b)
-                    return 0
-
-                jax.lax.fori_loop(0, 32, bit_body, 0)
+            _set_bit_loop(
+                list_ref[0, t, w], lambda b: accumulate(w * 32 + b)
+            )
             return 0
 
         jax.lax.fori_loop(0, n_words, word_body, 0)

@@ -695,3 +695,54 @@ def test_scatter_patch_blockspec_matches_copy_path():
         scale = max(np.abs(ref).max(), 1e-6)
         np.testing.assert_allclose(new, old, atol=1e-5 * scale)
         np.testing.assert_allclose(new, ref, atol=1e-4 * scale)
+
+
+def test_bitpacked_word_skip_paths(monkeypatch):
+    """Force use_list=False (the bitpacked word-skip loops, normally
+    reached only when per-strip chunk lists exceed SMEM -- e.g. 158K
+    faces at 512^2) by shrinking the SMEM budget, and check the
+    scatter/gather kernels against their exact-list twins.  Guards the
+    set-bit scan (_set_bit_loop) on every kernel that uses it."""
+    from neural_renderer_v2_pytorch_tpu.ops import resolve_pallas as rp
+
+    rng = np.random.RandomState(11)
+    # > the ONE_HOT_BUDGET face-chunk cap (1024 at strip 2048), so the
+    # tiny SMEM budget cannot be satisfied by growing the chunk and the
+    # geometry must fall back to the bitpacked mask
+    nf = 3000
+    fim = jnp.asarray(rng.randint(-1, nf, size=(2, 64, 64)).astype("int32"))
+    g = jnp.asarray(rng.randn(2, 5, 64, 64).astype("float32"))
+    want = np.asarray(
+        rp.scatter_to_faces_pallas(g, fim, nf, interpret=True, planar=True)
+    )
+
+    monkeypatch.setattr(rp, "_SMEM_BUDGET", 16)
+    assert rp._scatter_geometry(64 * 64, nf, 2048, 128)[-1] is False  # sanity
+    got = np.asarray(
+        rp.scatter_to_faces_pallas(g, fim, nf, interpret=True, planar=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+    # the patch-BlockSpec kernel's bitpacked branch
+    fim2 = jnp.asarray(rng.randint(-1, nf, size=(1, 128, 128)).astype("int32"))
+    g2 = jnp.asarray(rng.randn(1, 4, 128, 128).astype("float32"))
+    got2 = np.asarray(
+        rp._scatter_patch_blockspec(
+            g2, fim2, nf, 16, 128, 1024, interpret=True, planar_out=False
+        )
+    )
+    monkeypatch.undo()
+    want2 = np.asarray(
+        rp._scatter_patch_blockspec(
+            g2, fim2, nf, 16, 128, 1024, interpret=True, planar_out=False
+        )
+    )
+    np.testing.assert_array_equal(got2, want2)
+
+    # one-hot row gather's bitpacked branch
+    table = jnp.asarray(rng.randn(1, 3000, 6).astype("float32"))
+    ids = jnp.asarray(rng.randint(0, 3000, size=(1, 900)).astype("int32"))
+    want3 = np.asarray(rp.gather_rows_pallas(table, ids, interpret=True))
+    monkeypatch.setattr(rp, "_SMEM_BUDGET", 16)
+    got3 = np.asarray(rp.gather_rows_pallas(table, ids, interpret=True))
+    np.testing.assert_array_equal(got3, want3)
