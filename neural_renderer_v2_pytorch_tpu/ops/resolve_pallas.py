@@ -151,14 +151,22 @@ def _set_bit_loop(word, emit):
     formulation ran a masked 32-iteration loop per active word (~8
     scalar cycles per CLEAR bit); occupancy words here are sparse, so
     scanning only set bits cuts the scalar path ~10x.  The lowest set
-    bit's index comes from an exact f32 log2: ``word & -word`` isolates
-    a power of two, every int32 power of two (including the sign bit,
-    whose isolation is INT_MIN -> |.| = 2^31) casts to f32 exactly."""
+    bit's index is read off the f32 EXPONENT FIELD: ``word & -word``
+    isolates a power of two, every int32 power of two (including the
+    sign bit, whose isolation is INT_MIN -> |.| = 2^31) casts to f32
+    exactly, and a power of two's bitcast is ``(b + 127) << 23`` -- so
+    ``(bits >> 23) - 127`` recovers b with integer ops only.  (The old
+    ``log2().astype(int32)`` formulation was WRONG on backends with an
+    approximate log2: XLA-CPU gives log2(2^13) = 12.999999, truncating
+    to 12 -- bits 13/15/26/27/30/31 all emitted the wrong index.)"""
     def cond(wd):
         return wd != 0
     def body(wd):
         low = wd & (-wd)
-        b = jnp.log2(jnp.abs(low.astype(jnp.float32))).astype(jnp.int32)
+        bits = jax.lax.bitcast_convert_type(
+            jnp.abs(low.astype(jnp.float32)), jnp.int32
+        )
+        b = (bits >> 23) - 127
         emit(b)
         return wd & (wd - 1)
     jax.lax.while_loop(cond, body, word)
@@ -1537,10 +1545,17 @@ def _scatter_geometry(P, num_faces, strip, face_chunk):
 
     # prefer exact per-strip chunk lists in SMEM: grow the chunk while
     # they overflow and the one-hot budget still allows; past that point
-    # fall back to the bitpacked mask (32x smaller)
+    # fall back to the bitpacked mask (32x smaller).  Growth is capped at
+    # 8x the requested chunk: per-hit MXU work scales with face_chunk
+    # (each active chunk's one-hot matmul is [face_chunk, strip], and a
+    # coherent id span costs ~spread + face_chunk), so unbounded growth
+    # trades bounded scalar savings for unbounded matmul waste -- beyond
+    # the cap the bitpacked word-skip loop is the cheaper fallback.
+    chunk_cap = face_chunk * 8
     while (
         n_strips * (-(-num_faces // face_chunk)) * 4 > _SMEM_BUDGET
         and face_chunk < num_faces
+        and face_chunk * 2 <= chunk_cap
         and face_chunk * 2 * strip * 2 <= ONE_HOT_BUDGET
     ):
         face_chunk *= 2

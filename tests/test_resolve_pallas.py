@@ -717,6 +717,11 @@ def test_bitpacked_word_skip_paths(monkeypatch):
     )
 
     monkeypatch.setattr(rp, "_SMEM_BUDGET", 16)
+    # the entry points are jitted and the SMEM budget is read at TRACE
+    # time, so the monkeypatch must bust the jit cache or the second
+    # call would replay the unforced executable (vacuous comparison)
+    rp.scatter_to_faces_pallas.clear_cache()
+    rp.gather_rows_pallas.clear_cache()
     assert rp._scatter_geometry(64 * 64, nf, 2048, 128)[-1] is False  # sanity
     got = np.asarray(
         rp.scatter_to_faces_pallas(g, fim, nf, interpret=True, planar=True)
@@ -739,10 +744,17 @@ def test_bitpacked_word_skip_paths(monkeypatch):
     )
     np.testing.assert_array_equal(got2, want2)
 
-    # one-hot row gather's bitpacked branch
+    # one-hot row gather's bitpacked branch (budget still 16 from above;
+    # compute the forced result first, then undo + cache-bust for the
+    # exact-list oracle)
     table = jnp.asarray(rng.randn(1, 3000, 6).astype("float32"))
     ids = jnp.asarray(rng.randint(0, 3000, size=(1, 900)).astype("int32"))
-    want3 = np.asarray(rp.gather_rows_pallas(table, ids, interpret=True))
     monkeypatch.setattr(rp, "_SMEM_BUDGET", 16)
+    rp.gather_rows_pallas.clear_cache()
     got3 = np.asarray(rp.gather_rows_pallas(table, ids, interpret=True))
+    monkeypatch.undo()
+    rp.gather_rows_pallas.clear_cache()
+    want3 = np.asarray(rp.gather_rows_pallas(table, ids, interpret=True))
     np.testing.assert_array_equal(got3, want3)
+    # leave no forced-geometry executables behind for later tests
+    rp.scatter_to_faces_pallas.clear_cache()

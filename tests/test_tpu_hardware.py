@@ -177,6 +177,104 @@ def test_mxu_row_ops_on_tpu():
 
 
 @requires_tpu
+def test_parted_scatter_rows_at_atlas_scale_on_tpu():
+    """The parted-accumulator row scatter at the PRODUCTION loaded-atlas
+    gradient geometry (2.3M-row table, D=12, ~27 parts with the default
+    part_bytes; see resolve_pallas.scatter_rows_pallas) plus a forced
+    small-part config (n_parts >= 4), both against the XLA segment-sum
+    oracle -- the same-scale correctness witness for the 'atlas grads'
+    speed claim (round-4 verdict weak #1).  Ids come in both the
+    production-coherent (sorted) and adversarial (random) orders.
+
+    Replaces: the chainer atomicAdd scatter
+    (neural_renderer_chainer/rasterize.py:94-115)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neural_renderer_v2_pytorch_tpu.ops.resolve_pallas import (
+        scatter_rows_pallas,
+    )
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("no TPU backend")
+    rng = np.random.RandomState(21)
+
+    def oracle(g, ids, T):
+        def per(gb, ib):
+            m = (ib >= 0)[:, None]
+            return jnp.zeros((T, gb.shape[0])).at[jnp.maximum(ib, 0)].add(
+                jnp.where(m, gb.T, 0.0)
+            )
+        return np.asarray(jax.vmap(per)(g, ids))
+
+    # production scale: 2.3M rows x 12 channels, 262144 contributions
+    T, D, P = 2_304_000, 12, 262_144
+    g = jnp.asarray(rng.randn(1, D, P).astype("float32"))
+    ids_r = rng.randint(-1, T, size=(1, P)).astype("int32")
+    for ids_np in (ids_r, np.sort(ids_r, axis=1)):
+        ids = jnp.asarray(ids_np)
+        got = np.asarray(scatter_rows_pallas(g, ids, T))
+        want = oracle(g, ids, T)
+        np.testing.assert_allclose(got, want, atol=1e-4 * np.abs(want).max())
+
+    # forced multi-part at small scale: n_parts >= 4 with an odd table
+    T2, D2, P2 = 40_000, 5, 65_536
+    g2 = jnp.asarray(rng.randn(2, D2, P2).astype("float32"))
+    ids2 = jnp.asarray(rng.randint(-1, T2, size=(2, P2)).astype("int32"))
+    got2 = np.asarray(
+        scatter_rows_pallas(
+            g2, ids2, T2, strip=4096, chunk=512,
+            part_bytes=16 * D2 * 512 * 4,  # 16 chunks/part -> 5 parts
+        )
+    )
+    want2 = oracle(g2, ids2, T2)
+    np.testing.assert_allclose(got2, want2, atol=1e-4 * np.abs(want2).max())
+
+
+@requires_tpu
+def test_bitpacked_word_skip_forced_on_tpu(monkeypatch):
+    """The bitpacked word-skip fallback (use_list=False) COMPILED on
+    hardware: shrink the SMEM budget so the exact chunk lists cannot fit,
+    and check the scatter/gather kernels against their unforced twins
+    (the CPU-interpret twin is tests/test_resolve_pallas.py::
+    test_bitpacked_word_skip_paths; this pins the compiled tier,
+    including the exponent-field set-bit scan in _set_bit_loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neural_renderer_v2_pytorch_tpu.ops import resolve_pallas as rp
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("no TPU backend")
+    rng = np.random.RandomState(22)
+    nf = 3000
+    fim = jnp.asarray(rng.randint(-1, nf, size=(2, 64, 64)).astype("int32"))
+    g = jnp.asarray(rng.randn(2, 5, 64, 64).astype("float32"))
+    want = np.asarray(
+        rp.scatter_to_faces_pallas(g, fim, nf, planar=True)
+    )
+    table = jnp.asarray(rng.randn(1, 3000, 6).astype("float32"))
+    ids = jnp.asarray(rng.randint(0, 3000, size=(1, 900)).astype("int32"))
+    want_g = np.asarray(rp.gather_rows_pallas(table, ids))
+
+    monkeypatch.setattr(rp, "_SMEM_BUDGET", 16)
+    # bust the jit caches: the budget is read at trace time, so without
+    # this the patched calls would replay the unforced executables
+    rp.scatter_to_faces_pallas.clear_cache()
+    rp.gather_rows_pallas.clear_cache()
+    assert rp._scatter_geometry(64 * 64, nf, 2048, 128)[-1] is False
+    got = np.asarray(
+        rp.scatter_to_faces_pallas(g, fim, nf, planar=True)
+    )
+    got_g = np.asarray(rp.gather_rows_pallas(table, ids))
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got_g, want_g)
+    monkeypatch.undo()
+    rp.scatter_to_faces_pallas.clear_cache()
+    rp.gather_rows_pallas.clear_cache()
+
+
+@requires_tpu
 def test_golden_parity_on_tpu():
     import jax
 
