@@ -373,3 +373,161 @@ def test_tile_only_mesh_batch1(teapot):
     )
     single = np.asarray(rasterize_silhouettes(tv, jnp.asarray(f), None, hp))
     np.testing.assert_array_equal(sharded, single)
+
+
+# ---------------------------------------------------------------------------
+# Collective census: the comm model in docs/SCALING.md:29-70 projects 93-97%
+# scaling efficiency from a specific collective inventory.  These tests pin
+# that inventory in the COMPILED HLO of the sharded train step, so a GSPMD
+# regression inserting reshards/all-to-alls cannot pass silently.
+
+
+_DTYPE_BYTES = {
+    "f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4, "u32": 4,
+    "bf16": 2, "f16": 2, "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1,
+}
+
+
+def _shape_bytes(shape_str):
+    import re
+
+    total = 0
+    for dt, dims in re.findall(r"(\w+)\[([0-9,]*)\]", shape_str):
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def _collective_census(hlo_text):
+    """op kind -> list of result byte counts, parsing both scalar- and
+    tuple-shaped results (XLA fuses multiple psums into ONE tuple
+    all-reduce) and async -start forms."""
+    import re
+
+    kinds = (
+        "all-reduce", "all-gather", "collective-permute", "all-to-all",
+        "reduce-scatter",
+    )
+    census = {k: [] for k in kinds}
+    pat = re.compile(
+        r"= (\([^)]*\)|\S+) (" + "|".join(kinds) + r")(-start)?\("
+    )
+    for m in pat.finditer(hlo_text):
+        census[m.group(2)].append(_shape_bytes(m.group(1)))
+    return census
+
+
+def _lower_textured_train_step(mesh, size=32):
+    from neural_renderer_v2_pytorch_tpu.parallel.render import (
+        rasterize_core_sharded,
+    )
+    from neural_renderer_v2_pytorch_tpu.utils.helpers import create_textures
+
+    rng = np.random.RandomState(40)
+    v, f = nr.load_obj("/root/reference/tests_torch/data/teapot.obj")
+    renderer = nr.Renderer()
+    renderer.viewpoints = nr.get_points_from_angles(2.732, 30, 15)
+    tv = renderer.transform_vertices(jnp.asarray(np.tile(v[None], (2, 1, 1))))
+    vt_np, ft, tex_np = create_textures(f.shape[0], texture_size=2)
+    tex = jnp.asarray(
+        np.tile(tex_np[None], (2, 1, 1, 1))
+        * rng.rand(2, 1, 1, 1).astype("float32")
+    )
+    vt = jnp.asarray(np.tile(vt_np[None], (2, 1, 1)))
+    lights = (
+        AmbientLight(jnp.ones((2, 3)) * 0.3),
+        DirectionalLight(
+            jnp.ones((2, 3)) * 0.6,
+            jnp.asarray(np.tile([[0.0, 1.0, 0.0]], (2, 1)).astype("float32")),
+        ),
+    )
+    hp = RasterizeHyperparam(image_size=size, anti_aliasing=True, backend="xla")
+    faces = jnp.asarray(f)
+
+    def loss(verts, texs):
+        p = RasterizeParam(
+            vertices_textures=vt, faces_textures=jnp.asarray(ft),
+            textures=texs, lights=lights,
+        )
+        out = rasterize_core_sharded(verts, faces, p, hp, mesh)
+        return jnp.sum(out * out)
+
+    step = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    hlo = step.lower(tv, tex).compile().as_text()
+    render = 2 * size
+    shapes = dict(
+        n_verts=tv.shape[1], tex=tex.shape, render=render,
+        local_bs=2 // mesh.shape["data"],
+        local_rows=render // mesh.shape["tile"],
+        n_face=dict(mesh.shape).get("face", 1),
+    )
+    return hlo, shapes
+
+
+def test_collective_census_data_tile_face():
+    """(data=2, tile=2, face=2): exactly ONE all-reduce carrying exactly
+    the replicated-grad bytes (vertex + texture grads, fused to a tuple
+    by XLA), exactly TWO all-gathers (the face combine's depth f32 + id
+    s32 planes over the local pixel band), a bounded set of small
+    collective-permutes (the NMR backward's 1-row halos plus the H-flip's
+    band exchange across tile shards), and NO all-to-all, reduce-scatter,
+    or resharding collectives of any other kind."""
+    mesh = make_mesh(data=2, tile=2, face=2)
+    hlo, s = _lower_textured_train_step(mesh)
+    census = _collective_census(hlo)
+
+    assert census["all-to-all"] == [], census
+    assert census["reduce-scatter"] == [], census
+
+    # one fused psum: vertex grads [local_bs, nv, 3] + texture grads
+    # [local_bs, 3, th, tw], f32
+    grad_bytes = (
+        s["local_bs"] * s["n_verts"] * 3 * 4
+        + s["local_bs"] * int(np.prod(s["tex"][1:])) * 4
+    )
+    assert len(census["all-reduce"]) == 1, census
+    assert census["all-reduce"][0] == grad_bytes, (
+        census["all-reduce"], grad_bytes,
+    )
+
+    # the ordered z-combine gathers 2 planes (depth f32, id s32) of the
+    # local pixel band across the face axis (parallel/faces.py:114-115)
+    plane = s["n_face"] * s["local_bs"] * s["local_rows"] * s["render"] * 4
+    assert sorted(census["all-gather"]) == [plane, plane], (
+        census["all-gather"], plane,
+    )
+
+    # halos + flip exchange: bounded count, and in total well under two
+    # local image copies (the flip moves each row to its mirror shard
+    # once; halos are 1-row edges)
+    local_image_bytes = (
+        s["local_bs"] * 5 * s["local_rows"] * s["render"] * 4
+    )
+    assert len(census["collective-permute"]) <= 8, census
+    assert sum(census["collective-permute"]) <= 2 * local_image_bytes, (
+        census["collective-permute"], local_image_bytes,
+    )
+
+
+def test_collective_census_no_face_axis():
+    """(data=2, tile=4): with no face axis there is no combine -- the
+    compiled step must contain NO all-gather at all (the forward is
+    communication-free), just the one grad psum and the halo/flip
+    permutes."""
+    mesh = make_mesh(data=2, tile=4)
+    hlo, s = _lower_textured_train_step(mesh)
+    census = _collective_census(hlo)
+    assert census["all-to-all"] == [], census
+    assert census["reduce-scatter"] == [], census
+    assert census["all-gather"] == [], census
+    assert len(census["all-reduce"]) == 1, census
+    grad_bytes = (
+        s["local_bs"] * s["n_verts"] * 3 * 4
+        + s["local_bs"] * int(np.prod(s["tex"][1:])) * 4
+    )
+    assert census["all-reduce"][0] == grad_bytes
