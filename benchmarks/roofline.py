@@ -54,9 +54,31 @@ ACCEPT_OPS = 41
 
 
 def shared_ops(G, coords_dim):
-    """Per-window lane-ops shared by a face group: depth load/store,
-    hit/index or-cascades, index store, per-plane latch broadcast+store."""
-    return 2 * G + 2 + 2 * coords_dim
+    """Per-window lane-ops shared by a face group: depth load/store
+    (2), hit or-cascade (G-1), index where-cascade (G-1) + store (2),
+    and per latched plane a FULL (G-1)-select where-cascade plus
+    broadcast + store (the round-4 roofline modeled 2 ops/plane and
+    undercounted the cascades -- each latch plane pays G-1 vector
+    selects per window, not a shared one)."""
+    return 2 + (G - 1) + (G - 1) + 2 + coords_dim * ((G - 1) + 2)
+
+
+def resolve_scalar_cycles(nf_valid, n_groups, n_windows, coords_dim):
+    """Scalar-core cycles the windowed kernel issues (~1 op/cycle):
+    per face 17 constant reads + coords_dim latch reads (SMEM scalar
+    loads feeding vector broadcasts), per group 4 window-table reads +
+    ~8 loop/bookkeeping ops, per window ~12 address/min/decode ops.
+    The scalar port is a SEPARATE roof from the VPU: measured round 5
+    (512^2/158K, interleaved): dropping the 6 xy-latch planes removes
+    ~0.95 ms of scalar feed + ~0.7 ms of vector cascade work and the
+    kernel gets 1.63 ms faster -- the two pipes ADD instead of
+    overlapping, so max(scalar, vpu) is the attainable bound and the
+    measured gap above it is the (real) overlap failure."""
+    return (
+        nf_valid * (17 + coords_dim)
+        + n_groups * 12
+        + n_windows * 12
+    )
 
 
 def resolve_exact_lane_ops(fv_np, S, rw=16, cw=128, G=4, coords_dim=6,
@@ -88,6 +110,7 @@ def resolve_exact_lane_ops(fv_np, S, rw=16, cw=128, G=4, coords_dim=6,
 
     lane = 0
     groups_alive = 0
+    windows = 0
     for c0f in range(0, nf, face_chunk):
         n_in = min(face_chunk, nf - c0f)
         for b in range(0, n_in, G):
@@ -115,10 +138,11 @@ def resolve_exact_lane_ops(fv_np, S, rw=16, cw=128, G=4, coords_dim=6,
             c_hi = int(np.clip(x_hi + 1.0, 0.0, S))
             c0 = (c_lo // 128) * 128
             n_cwin = max(0, (c_hi - c0 + cw - 1) // cw)
+            windows += n_rwin * n_cwin
             lane += n_rwin * n_cwin * rw * cw * (
                 G * ACCEPT_OPS + shared_ops(G, coords_dim)
             )
-    return lane, groups_alive
+    return lane, groups_alive, windows
 
 
 def main():
@@ -206,10 +230,12 @@ def main():
     MB = 1024 * 1024
     rows = []
 
-    def report(name, measured_ms, hbm_bytes, lane_ops=0, note=""):
+    def report(name, measured_ms, hbm_bytes, lane_ops=0, note="",
+               scalar_cycles=0):
         hbm_ms = hbm_bytes / (HBM_GBS * 1e9) * 1e3
         vpu_ms = lane_ops / VPU_LANEOPS * 1e3
-        roof = max(hbm_ms, vpu_ms)
+        scalar_ms = scalar_cycles / 0.94e9 * 1e3
+        roof = max(hbm_ms, vpu_ms, scalar_ms)
         if measured_ms < roof:
             # differenced wall below the roof: the stage is at speed of
             # light and the residual is tunnel noise -- report the bound
@@ -230,10 +256,13 @@ def main():
     # HBM: faces in (+ chunk copy), consts, index/depth/6 latch planes out
     bytes_resolve = (nf * 9 * 4) * 2 + nf * 17 * 4 + (2 + 6) * S * S * 4
     # EXACT-SCHEDULE op count (replaces round-3's crude estimate)
-    lane_ops, n_groups = resolve_exact_lane_ops(
+    lane_ops, n_groups, n_windows = resolve_exact_lane_ops(
         fv_np, S, rw=rw, G=G, coords_dim=coords_dim)
+    scal = resolve_scalar_cycles(nf, n_groups, n_windows, coords_dim)
     report("resolve+latch fwd", t, bytes_resolve, lane_ops,
-           "exact schedule: %d live groups" % n_groups)
+           "exact schedule: %d live groups, %d windows; scalar %.2f ms"
+           % (n_groups, n_windows, scal / 0.94e9 * 1e3),
+           scalar_cycles=scal)
 
     # --- pixel->face gradient scatter -------------------------------------
     # numpy: a jnp closure into the timing jit adds ~29 ms per execution
@@ -309,6 +338,65 @@ def main():
         report("AA flip+pool fwd+bwd", t, bytes_aa, 0,
                "reverse + reduce_window + hand VJP")
 
+    # --- stages previously OUTSIDE the roofline (round 5): the bench
+    # config measured 0.49 ms/step with only 0.39 ms attributed ---------
+    from neural_renderer_v2_pytorch_tpu.ops.gather_resolve import (
+        gather_face_vertices,
+    )
+    from neural_renderer_v2_pytorch_tpu.ops.resolve import (
+        weight_planes_from_gathered,
+    )
+    from neural_renderer_v2_pytorch_tpu.ops import shading
+
+    nv = v.shape[0]
+    glue_n = dict(n1=100, n2=500) if small else dict(n1=24, n2=120)
+
+    # camera transform fwd+bwd (perspective . look_at)
+    cot_tv = np.random.RandomState(5).randn(1, nv, 3).astype("f")
+
+    def cam_step(x):
+        g = jax.grad(
+            lambda vv: jnp.sum(perspective(look_at(vv, eye), angle=30.0) * cot_tv)
+        )(x)
+        return x + 1e-12 * g
+    t = device_time(cam_step, jnp.asarray(v[None]), **glue_n)
+    report("camera fwd+bwd", t, nv * 3 * 4 * 4, 0, "VPU fma rotation")
+
+    # face-vertex gather fwd + shared-vertex slot-scatter bwd (THE grad
+    # path into vertices)
+    cot_fv = np.random.RandomState(6).randn(1, nf, 9).astype("f")
+
+    def fg_step(x):
+        g = jax.grad(
+            lambda vv: jnp.sum(
+                gather_face_vertices(vv, F, "xla").reshape(1, nf, 9) * cot_fv
+            )
+        )(x)
+        return x + 1e-12 * g
+    t = device_time(fg_step, jnp.asarray(v[None]), **glue_n)
+    bytes_fg = (nv * 3 * 4 + nf * 3 * 4 + nf * 9 * 4) * 2
+    report("face gather fwd + slot bwd", t, bytes_fg, 0,
+           "XLA row gather + segment-sum transpose")
+
+    # weight planes (stop-grad, forward only) + coordinate planes fwd+bwd
+    fvm6 = jnp.asarray(
+        np.asarray(resolve_gather_pallas(fv, None, S, latch_z=False)[1])
+    )
+    fim_j = jnp.asarray(fim)
+    cot_c = np.random.RandomState(7).randn(1, 2, S, S).astype("f")
+
+    def wc_step(x):
+        def f(x):
+            w = weight_planes_from_gathered(x, fim_j, S)
+            return jnp.sum(shading.coordinate_planes(x, w) * cot_c)
+        return x + 1e-12 * jax.grad(f)(x)
+    t = device_time(wc_step, fvm6, **glue_n)
+    # fwd: read 6 fvm + fim + write 3 w; coord: read (6 fvm, 3 w) write 2;
+    # bwd: read 2 grad + 3 w, write 6 plane grads
+    bytes_wc = (6 + 1 + 3 + 9 + 2 + 5 + 6) * S * S * 4
+    report("weight+coordinate planes", t, bytes_wc, 0,
+           "fused elementwise over planes")
+
     # --- full training step -----------------------------------------------
     hp = RasterizeHyperparam(image_size=args.image_size,
                              anti_aliasing=args.aa)
@@ -324,6 +412,12 @@ def main():
         + 2 * (nf * 9 * 4 + v.shape[0] * 3 * 4)   # vertex gather + transpose
     report("FULL silhouette step", t, bytes_step, 0,
            "sum of parts; resolve roof applies")
+    attributed = sum(r[1] for r in rows[:-1])
+    rows.append((
+        "(attributed / step)", attributed, 0, 0, 0,
+        100.0 * attributed / t if t else 0.0,
+        "stage-sum coverage of the measured step",
+    ))
 
     print()
     print("%-26s %9s %9s %9s %9s %7s  %s" % (

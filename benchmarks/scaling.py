@@ -72,38 +72,58 @@ def main():
 
     n1, n2 = (10, 40) if args.quick else (30, 120)
 
-    def device_time(step, carry):
-        def wall(N):
+    def device_time(step, carry, cycles=3):
+        """Best-of-`cycles` INTERLEAVED N-differencing (bench.py's
+        protocol, applied per row).  A single differencing cycle is not
+        trustworthy on the shared tunneled chip: the round-4 battery log
+        shows same-day single-cycle rows 2-2.5x apart (e.g. the loaded-
+        atlas tex-grad step read 4.458 then 11.186 ms).  Contention is
+        strictly additive, so the best of interleaved short/long pairs is
+        the faithful device time; the spread over cycles is returned so
+        published rows carry their own noise bar."""
+        def make(N):
             @jax.jit
             def run(v):
                 def body(v, _):
                     return step(v), None
                 v, _ = jax.lax.scan(body, v, None, length=N)
                 return v
+            return run
+        runs = {N: make(N) for N in (n1, n2)}
+        for run in runs.values():  # compile + dedup-buster warm-up
             o = run(carry + jnp.float32(1e-5))
             jax.block_until_ready(o)
             _ = float(jnp.sum(o))
+
+        def wall(N, cyc):
             best = float("inf")
             for r in range(2):
-                vi = carry + jnp.float32(1e-6 * r)
+                vi = carry + jnp.float32(1e-6 * (2 * cyc + r + 1))
                 jax.block_until_ready(vi)
                 t0 = time.perf_counter()
-                o = run(vi)
+                o = runs[N](vi)
                 jax.block_until_ready(o)
-                _ = float(jnp.sum(o))
+                _ = float(jnp.sum(o))  # timed window must end with a fetch
                 best = min(best, time.perf_counter() - t0)
             return best
-        w1, w2 = wall(n1), wall(n2)
-        if w2 - w1 < 0.2 * w2:  # differencing drowned in dispatch noise
-            return w2 / n2 * 1e3
-        return (w2 - w1) / (n2 - n1) * 1e3
+
+        ds = []
+        for cyc in range(cycles):
+            w1, w2 = wall(n1, cyc), wall(n2, cyc)
+            d = w2 - w1
+            if d < 0.2 * w2:  # differencing drowned in dispatch noise
+                d = w2 * (n2 - n1) / n2
+            ds.append(d / (n2 - n1) * 1e3)
+        best = min(ds)
+        return best, (max(ds) - best) / best
 
     vertices, faces = nr.load_obj(args.obj)
     print("platform:", jax.default_backend())
-    print("%-42s %10s %12s" % ("config (fwd+bwd per step)", "ms", "Mpx/s"))
+    print("%-42s %10s %8s %12s" % ("config (fwd+bwd per step)", "ms", "+spr%", "Mpx/s"))
 
-    def report(name, t, px):
-        print("%-42s %10.3f %12.1f" % (name, t, px / t / 1e3))
+    def report(name, t_spread, px):
+        t, spread = t_spread
+        print("%-42s %10.3f %7.0f%% %12.1f" % (name, t, spread * 100, px / t / 1e3))
 
     def sil_step(F, eye, hp):
         def step(v):

@@ -151,22 +151,22 @@ def _set_bit_loop(word, emit):
     formulation ran a masked 32-iteration loop per active word (~8
     scalar cycles per CLEAR bit); occupancy words here are sparse, so
     scanning only set bits cuts the scalar path ~10x.  The lowest set
-    bit's index is read off the f32 EXPONENT FIELD: ``word & -word``
-    isolates a power of two, every int32 power of two (including the
-    sign bit, whose isolation is INT_MIN -> |.| = 2^31) casts to f32
-    exactly, and a power of two's bitcast is ``(b + 127) << 23`` -- so
-    ``(bits >> 23) - 127`` recovers b with integer ops only.  (The old
-    ``log2().astype(int32)`` formulation was WRONG on backends with an
-    approximate log2: XLA-CPU gives log2(2^13) = 12.999999, truncating
-    to 12 -- bits 13/15/26/27/30/31 all emitted the wrong index.)"""
+    bit's index comes from a ROUNDED f32 log2: ``word & -word`` isolates
+    a power of two, every int32 power of two (including the sign bit,
+    whose isolation is INT_MIN -> |.| = 2^31) casts to f32 exactly, and
+    log2 of it is an integer up to the backend's log2 approximation
+    error -- XLA-CPU computes log2(2^13) = 12.999999, so a bare int cast
+    TRUNCATES to the wrong bit (the round-4 parted-scatter corruption);
+    adding 0.5 before the cast absorbs any |error| < 0.5.  (A bitcast
+    exponent read would be exact by construction but Mosaic only
+    supports tpu.bitcast on vectors, not the scalar core.)"""
     def cond(wd):
         return wd != 0
     def body(wd):
         low = wd & (-wd)
-        bits = jax.lax.bitcast_convert_type(
-            jnp.abs(low.astype(jnp.float32)), jnp.int32
-        )
-        b = (bits >> 23) - 127
+        b = (
+            jnp.log2(jnp.abs(low.astype(jnp.float32))) + 0.5
+        ).astype(jnp.int32)
         emit(b)
         return wd & (wd - 1)
     jax.lax.while_loop(cond, body, word)
@@ -290,6 +290,8 @@ def _windowed_kernel(
     latch,
     coords_dim,
     group_size,
+    group_unroll=1,
+    flat_windows=False,
 ):
     """Bin-free z-resolve: the whole pixel band stays VMEM-resident and
     every face touches only the (row_window x col_window) slabs covering
@@ -340,7 +342,7 @@ def _windowed_kernel(
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (rw, cw), 1)
         G = group_size
 
-        def group_body(i, _):
+        def one_group(i):
             base = G * i
             ks = [jnp.minimum(base + j, face_chunk - 1) for j in range(G)]
 
@@ -360,86 +362,130 @@ def _windowed_kernel(
             c0 = tbl_ref[0, 0, i, 2]
             n_cwin = tbl_ref[0, 0, i, 3]
 
+            def do_window(rows, cols, xp, yp):
+                d = depth_ref[0, rows, cols]
+
+                accepts = []
+                for j in range(G):
+                    coef, iz, det, bbox, _fid = members[j]
+                    aj, zj = _face_accept(
+                        xp, yp, coef, iz, det, bbox, d, near, far
+                    )
+                    d = jnp.where(aj, zj, d)
+                    accepts.append(aj)
+
+                hit = accepts[0]
+                for aj in accepts[1:]:
+                    hit |= aj
+                # NOTE: gating these stores behind a scalar
+                # pl.when(jnp.any(hit)) was measured 70% SLOWER
+                # (0.36 -> 0.66 ms resolve fwd at 512^2/2.4K,
+                # 3 interleaved reps): the branch breaks
+                # Mosaic's window-loop pipelining, costing far
+                # more than the ~130-cycle fixed per-window
+                # store overhead it was meant to skip.
+                pltpu.store(depth_ref.at[0, rows, cols], d, mask=hit)
+
+                def cascade(vals):
+                    v = vals[0]
+                    for j in range(1, G):
+                        v = jnp.where(accepts[j], vals[j], v)
+                    return v
+
+                win_shape = (rw, cw)
+                pltpu.store(
+                    index_ref.at[0, rows, cols],
+                    cascade([m[4] for m in members])
+                    * jnp.ones(win_shape, jnp.int32),
+                    mask=hit,
+                )
+                if latch:
+                    for p in range(coords_dim):
+                        val = cascade(
+                            [coords_in_ref[0, 0, p, k] for k in ks]
+                        )
+                        pltpu.store(
+                            coords_ref.at[0, p, rows, cols],
+                            jnp.broadcast_to(val, win_shape),
+                            mask=hit,
+                        )
+                    for a in range(num_attrs):
+                        val = cascade([attrs_ref[0, 0, a, k] for k in ks])
+                        pltpu.store(
+                            attr_out_ref.at[0, a, rows, cols],
+                            jnp.broadcast_to(val, win_shape),
+                            mask=hit,
+                        )
+
             @pl.when((n_rwin > 0) & (n_cwin > 0))
             def _group():
-                def rwin_body(wr, _):
-                    start_r = pl.multiple_of(
-                        jnp.minimum(r0 + wr * rw, num_rows - rw), 8
-                    )
-                    rows = pl.ds(start_r, rw)
-                    gr = row_base + start_r + row_iota
-                    yp = (2.0 * gr.astype(jnp.float32) + (1.0 - S)) * inv
-
-                    def cwin_body(wc, _):
+                if flat_windows:
+                    # ONE flat loop over the group's n_rwin * n_cwin
+                    # windows (w -> (wr, wc) by scalar div/mod): at large
+                    # face counts ~90% of groups cover exactly one window
+                    # (the exact-schedule roofline reads 1.09 windows per
+                    # group at 512^2 / 158K), so the nested row/col
+                    # window loops paid two fori_loop setups per group
+                    # for nothing.  COMPILED-ONLY: restructuring the loop
+                    # body shifts XLA:CPU's FMA-contraction choices in
+                    # face_candidate by ~1 ulp on zp, so interpret mode
+                    # keeps the nested structure that is bit-identical to
+                    # the XLA resolve; on hardware, Mosaic's contraction
+                    # is asserted bit-exact by the battery tier
+                    # (tests/test_tpu_hardware.py).
+                    def win_body(w, _):
+                        wr = w // n_cwin
+                        wc = w - wr * n_cwin
+                        start_r = pl.multiple_of(
+                            jnp.minimum(r0 + wr * rw, num_rows - rw), 8
+                        )
+                        rows = pl.ds(start_r, rw)
+                        gr = row_base + start_r + row_iota
+                        yp = (2.0 * gr.astype(jnp.float32) + (1.0 - S)) * inv
                         start_c = pl.multiple_of(
                             jnp.minimum(c0 + wc * cw, W - cw), 128
                         )
                         cols = pl.ds(start_c, cw)
                         gc = start_c + col_iota
                         xp = (2.0 * gc.astype(jnp.float32) + (1.0 - S)) * inv
-                        d = depth_ref[0, rows, cols]
-
-                        accepts = []
-                        for j in range(G):
-                            coef, iz, det, bbox, _fid = members[j]
-                            aj, zj = _face_accept(
-                                xp, yp, coef, iz, det, bbox, d, near, far
-                            )
-                            d = jnp.where(aj, zj, d)
-                            accepts.append(aj)
-
-                        hit = accepts[0]
-                        for aj in accepts[1:]:
-                            hit |= aj
-                        # NOTE: gating these stores behind a scalar
-                        # pl.when(jnp.any(hit)) was measured 70% SLOWER
-                        # (0.36 -> 0.66 ms resolve fwd at 512^2/2.4K,
-                        # 3 interleaved reps): the branch breaks
-                        # Mosaic's window-loop pipelining, costing far
-                        # more than the ~130-cycle fixed per-window
-                        # store overhead it was meant to skip.
-                        pltpu.store(depth_ref.at[0, rows, cols], d, mask=hit)
-
-                        def cascade(vals):
-                            v = vals[0]
-                            for j in range(1, G):
-                                v = jnp.where(accepts[j], vals[j], v)
-                            return v
-
-                        win_shape = (rw, cw)
-                        pltpu.store(
-                            index_ref.at[0, rows, cols],
-                            cascade([m[4] for m in members])
-                            * jnp.ones(win_shape, jnp.int32),
-                            mask=hit,
-                        )
-                        if latch:
-                            for p in range(coords_dim):
-                                val = cascade(
-                                    [coords_in_ref[0, 0, p, k] for k in ks]
-                                )
-                                pltpu.store(
-                                    coords_ref.at[0, p, rows, cols],
-                                    jnp.broadcast_to(val, win_shape),
-                                    mask=hit,
-                                )
-                            for a in range(num_attrs):
-                                val = cascade([attrs_ref[0, 0, a, k] for k in ks])
-                                pltpu.store(
-                                    attr_out_ref.at[0, a, rows, cols],
-                                    jnp.broadcast_to(val, win_shape),
-                                    mask=hit,
-                                )
+                        do_window(rows, cols, xp, yp)
                         return 0
 
-                    jax.lax.fori_loop(0, n_cwin, cwin_body, 0)
-                    return 0
+                    jax.lax.fori_loop(0, n_rwin * n_cwin, win_body, 0)
+                else:
+                    def rwin_body(wr, _):
+                        start_r = pl.multiple_of(
+                            jnp.minimum(r0 + wr * rw, num_rows - rw), 8
+                        )
+                        rows = pl.ds(start_r, rw)
+                        gr = row_base + start_r + row_iota
+                        yp = (2.0 * gr.astype(jnp.float32) + (1.0 - S)) * inv
 
-                jax.lax.fori_loop(0, n_rwin, rwin_body, 0)
+                        def cwin_body(wc, _):
+                            start_c = pl.multiple_of(
+                                jnp.minimum(c0 + wc * cw, W - cw), 128
+                            )
+                            cols = pl.ds(start_c, cw)
+                            gc = start_c + col_iota
+                            xp = (2.0 * gc.astype(jnp.float32) + (1.0 - S)) * inv
+                            do_window(rows, cols, xp, yp)
+                            return 0
 
+                        jax.lax.fori_loop(0, n_cwin, cwin_body, 0)
+                        return 0
+
+                    jax.lax.fori_loop(0, n_rwin, rwin_body, 0)
+
+        U = group_unroll
+
+        def group_body(i, _):
+            for u in range(U):
+                one_group(i * U + u)
             return 0
 
-        jax.lax.fori_loop(0, (n_in_chunk + G - 1) // G, group_body, 0)
+        jax.lax.fori_loop(
+            0, (n_in_chunk + G * U - 1) // (G * U), group_body, 0
+        )
 
 
 def _run_windowed(
@@ -459,6 +505,7 @@ def _run_windowed(
     num_rows=None,
     coords_dim=9,
     planar_faces=False,
+    group_unroll=1,
 ):
     """Driver for the bin-free windowed kernel: reshape faces into chunks
     (no binning, no gathers) -> pallas_call.  Same return contract as
@@ -535,6 +582,8 @@ def _run_windowed(
     #      group yields n_rwin <= 0 and its window loops never run.
     assert face_chunk % group_size == 0, (face_chunk, group_size)
     gpc = face_chunk // group_size
+    if gpc % group_unroll:
+        group_unroll = 1  # unroll must tile the group count exactly
     det = consts_ch[:, :, 12]                     # [bs, nc, K]
     valid = jnp.abs(det) >= DEGENERATE_EPS
     if not draw_backside:
@@ -650,6 +699,10 @@ def _run_windowed(
         latch=latch,
         coords_dim=coords_dim,
         group_size=group_size,
+        group_unroll=group_unroll,
+        flat_windows=(
+            not interpret if _WINDOW_LOOP == "auto" else _WINDOW_LOOP == "flat"
+        ),
     )
 
     def wrapped(*refs):
@@ -1286,6 +1339,7 @@ def resolve_gather_pallas(
             face_chunk, row_window, 128, True, interpret,
             group_size=group_size, row_start=row_start, num_rows=num_rows,
             coords_dim=coords_dim, planar_faces=planar_faces,
+            group_unroll=_GROUP_UNROLL,
         )
     else:
         if planar_faces:
@@ -1516,6 +1570,14 @@ def _scatter_kernel_patch(
 # compiler with "Allocation would exceed memory (size=1048576)"); keep
 # half for the occupancy structures
 _SMEM_BUDGET = 512 * 1024
+
+# Groups processed per windowed-resolve loop iteration (A/B switch for
+# benchmarks/tune_resolve.py; see _windowed_kernel group_unroll)
+_GROUP_UNROLL = 1
+# Windowed-resolve window-loop structure: "auto" (flat when compiled,
+# nested in interpret -- see the contraction note in _windowed_kernel),
+# or "flat"/"nested" to force (A/B switch)
+_WINDOW_LOOP = "auto"
 
 
 def _scatter_geometry(P, num_faces, strip, face_chunk):
@@ -2312,6 +2374,13 @@ def gather_rows_pallas(
     else:
         out_specs = pl.BlockSpec((1, 1, D, strip), lambda b, t: (b, t, 0, 0))
         out_shape = jax.ShapeDtypeStruct((bs, n_strips, D, strip), jnp.float32)
+    # tables past ~12 MB (e.g. texture atlases) exceed the 16 MB default
+    # scoped-VMEM limit once the one-hot + strip buffers stack on top
+    table_bytes = D * n_p * 4
+    params = (
+        _vmem_compiler_params(interpret, limit=table_bytes)
+        if table_bytes > 12 * 1024 * 1024 and not interpret else None
+    )
     out = pl.pallas_call(
         kernel,
         grid=(bs, n_strips),
@@ -2330,6 +2399,7 @@ def gather_rows_pallas(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=params,
     )(cnt.reshape(bs, 1, n_strips), active, ids_p.reshape(bs, n_strips, 1, strip), table_pl)
     if planar_out:
         return out[:, :, :P]
@@ -2715,6 +2785,7 @@ def compute_face_index_map_pallas(
             faces, None, image_size, near, far, draw_backside,
             face_chunk, row_window, 128, False, interpret,
             group_size=group_size, row_start=row_start, num_rows=num_rows,
+            group_unroll=_GROUP_UNROLL,
         )
     else:
         index, depth, _, _ = _run_binned(
