@@ -99,9 +99,12 @@ def main():
     # N-differencing cancels the fixed dispatch/fetch overhead of the
     # tunnel (which can exceed the device time itself).  Chip contention
     # on the shared tunnel is strictly additive noise, so the best of a
-    # few differencing cycles is the most faithful device time.
+    # few differencing cycles is the most faithful device time.  Six
+    # cycles (round 5, was 3): same-day identical-code readings spread
+    # 135-148 Mpx/s under drift; each extra cycle costs ~0.4 s of device
+    # time and materially improves the odds of touching the true floor.
     elapsed = float("inf")
-    for _cycle in range(3):
+    for _cycle in range(6):
         t1 = time_chain(n_iters)
         t2 = time_chain(2 * n_iters)
         d = t2 - t1

@@ -122,10 +122,15 @@ def _row_windows(bbox, row_base, tile_h, rw, image_size):
     half = (image_size - 1.0) * 0.5
     y_lo = jnp.floor(bbox[2] * (image_size * 0.5) + half)
     y_hi = jnp.ceil(bbox[3] * (image_size * 0.5) + half)
-    r_lo = jnp.clip(y_lo - row_base, 0.0, tile_h).astype(jnp.int32)
-    r_hi = jnp.clip(y_hi - row_base + 1.0, 0.0, tile_h).astype(jnp.int32)
-    r0 = (r_lo // 8) * 8
-    n_win = (r_hi - r0 + rw - 1) // rw
+    r_lo = jnp.clip(y_lo - row_base, 0.0, tile_h)
+    r_hi = jnp.clip(y_hi - row_base + 1.0, 0.0, tile_h)
+    # all-f32 (EXACT: operands are floor/ceil integers well under 2^24,
+    # and the correctly-rounded small-int quotients floor identically to
+    # integer division) so the caller stacks every window component and
+    # converts ONCE -- the per-component int casts used to materialize 4
+    # tiny convert+copy kernel pairs per preschedule (kernel census)
+    r0 = jnp.floor(r_lo / 8.0) * 8.0
+    n_win = jnp.floor((r_hi - r0 + (rw - 1.0)) / rw)
     return r0, n_win
 
 
@@ -138,10 +143,10 @@ def _col_windows(bbox, cw, image_size):
     half = (image_size - 1.0) * 0.5
     x_lo = jnp.floor(bbox[0] * (image_size * 0.5) + half)
     x_hi = jnp.ceil(bbox[1] * (image_size * 0.5) + half)
-    c_lo = jnp.clip(x_lo, 0.0, image_size).astype(jnp.int32)
-    c_hi = jnp.clip(x_hi + 1.0, 0.0, image_size).astype(jnp.int32)
-    c0 = (c_lo // 128) * 128
-    n_win = (c_hi - c0 + cw - 1) // cw
+    c_lo = jnp.clip(x_lo, 0.0, image_size)
+    c_hi = jnp.clip(x_hi + 1.0, 0.0, image_size)
+    c0 = jnp.floor(c_lo / 128.0) * 128.0
+    n_win = jnp.floor((c_hi - c0 + (cw - 1.0)) / cw)
     return c0, n_win
 
 
@@ -172,7 +177,8 @@ def _set_bit_loop(word, emit):
     jax.lax.while_loop(cond, body, word)
 
 
-def _face_chunks_kernel(fvp_ref, consts_ref, coords_ref, *, coords_dim):
+def _face_chunks_kernel(fvp_ref, rs_ref, consts_ref, coords_ref, tbl_ref, *,
+                        coords_dim, presched=None):
     """Per-chunk face constants (and latch coordinate rows) from planar
     face vertices -- the in-kernel twin of
     :func:`resolve.face_constants_planar` fused with the chunk-major
@@ -186,6 +192,20 @@ def _face_chunks_kernel(fvp_ref, consts_ref, coords_ref, *, coords_dim):
     both CPU-interpret and compiled TPU).  Zero-padded faces produce
     iz=inf / det=0 rows; every consumer masks faces past ``nf`` before
     any store, so pad values never surface.
+
+    ``presched``: when set (a dict of the windowed resolve's static
+    schedule parameters), the kernel ALSO absorbs _run_windowed's XLA
+    preschedule (~16 more glue kernels at the bench config):
+      * invalid faces (degenerate / culled backface / pad zeros) get the
+        off-screen sentinel bbox written straight into ``consts_ref``;
+      * each group's union-bbox window tuple (r0, n_rwin, c0, n_cwin)
+        lands in ``tbl_ref`` [1, 1, 4, K] at the group's BASE lane
+        (k % G == 0), computed lane-wide: log-step ``pltpu.roll`` folds
+        give every base lane the min/max over its G-lane group (G is a
+        power of two; the cyclic wrap only contaminates non-base lanes),
+        then the identical all-f32 window math of
+        :func:`_row_windows`/:func:`_col_windows` (exact on these
+        integer-valued floats, so bit-identical to the XLA prepass).
     """
     f = fvp_ref[0]  # [3 (coord), 3 (vertex), K]
     x0, y0, z0 = f[0, 0], f[1, 0], f[2, 0]
@@ -194,17 +214,31 @@ def _face_chunks_kernel(fvp_ref, consts_ref, coords_ref, *, coords_dim):
     C0 = x1 * y2 - x2 * y1
     C1 = x2 * y0 - x0 * y2
     C2 = x0 * y1 - x1 * y0
+    A0, B0 = x2 - x1, y1 - y2
+    A1, B1 = x0 - x2, y2 - y0
+    A2, B2 = x1 - x0, y0 - y1
+    det = C0 + C1 + C2
+    xmin = jnp.minimum(jnp.minimum(x0, x1), x2)
+    xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
+    ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
+    ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
+    if presched is not None:
+        valid = jnp.abs(det) >= DEGENERATE_EPS
+        if not presched["draw_backside"]:
+            coef = (A0, B0, C0, A1, B1, C1, A2, B2, C2)
+            valid &= ~face_backside(coef)
+        xmin = jnp.where(valid, xmin, 4.0)
+        xmax = jnp.where(valid, xmax, -4.0)
+        ymin = jnp.where(valid, ymin, 4.0)
+        ymax = jnp.where(valid, ymax, -4.0)
     consts_ref[0, 0] = jnp.stack(
         (
-            x2 - x1, y1 - y2, C0,
-            x0 - x2, y2 - y0, C1,
-            x1 - x0, y0 - y1, C2,
+            A0, B0, C0,
+            A1, B1, C1,
+            A2, B2, C2,
             1.0 / z0, 1.0 / z1, 1.0 / z2,
-            C0 + C1 + C2,
-            jnp.minimum(jnp.minimum(x0, x1), x2),
-            jnp.maximum(jnp.maximum(x0, x1), x2),
-            jnp.minimum(jnp.minimum(y0, y1), y2),
-            jnp.maximum(jnp.maximum(y0, y1), y2),
+            det,
+            xmin, xmax, ymin, ymax,
         ),
         axis=0,
     )
@@ -213,13 +247,48 @@ def _face_chunks_kernel(fvp_ref, consts_ref, coords_ref, *, coords_dim):
         coords_ref[0, 0] = jnp.stack(
             [f[ci, v] for v in range(3) for ci in range(nc)], axis=0
         )
+    if presched is not None:
+        G = presched["group_size"]
+        # group-union folds: after log2(G) doubling roll-mins, lane k
+        # holds the fold over lanes [k, k+G) -- correct at base lanes
+        K = xmin.shape[0]
+        # 2-D (1, K) operands: Mosaic's roll rejects 1-D shapes
+        ux0, ux1, uy0, uy1 = (
+            v.reshape(1, K) for v in (xmin, xmax, ymin, ymax)
+        )
+        s = 1
+        while s < G:
+            # roll by K - s == -s cyclically (negative shifts rejected):
+            # lane k folds lane k + s
+            ux0 = jnp.minimum(ux0, pltpu.roll(ux0, K - s, 1))
+            ux1 = jnp.maximum(ux1, pltpu.roll(ux1, K - s, 1))
+            uy0 = jnp.minimum(uy0, pltpu.roll(uy0, K - s, 1))
+            uy1 = jnp.maximum(uy1, pltpu.roll(uy1, K - s, 1))
+            s *= 2
+        rbf = rs_ref[0].astype(jnp.float32)
+        g_r0, g_nr = _row_windows(
+            (0.0, 0.0, uy0, uy1), rbf, presched["num_rows"],
+            presched["row_window"], presched["image_size"],
+        )
+        g_c0, g_nc = _col_windows(
+            (ux0, ux1, 0.0, 0.0), presched["col_window"],
+            presched["image_size"],
+        )
+        tbl_ref[0, 0] = jnp.concatenate(
+            [g_r0, g_nr, g_c0, g_nc], axis=0
+        ).astype(jnp.int32)
 
 
-def _face_chunks_pallas(fvp, face_chunk, coords_dim, interpret):
+def _face_chunks_pallas(fvp, face_chunk, coords_dim, interpret,
+                        presched=None, row_start=0):
     """[bs, 3, 3, nf] planar face vertices -> chunk-major kernel operands:
     (consts [bs, n_chunks, 17, K], coords [bs, n_chunks, coords_dim, K]
-    or None).  Requires 128-divisible ``face_chunk`` (lane-aligned
-    blocks); callers fall back to the XLA builder otherwise."""
+    or None, wtbl [bs, n_chunks, 4, K] int32 or None).  Requires
+    128-divisible ``face_chunk`` (lane-aligned blocks); callers fall back
+    to the XLA builder otherwise.  ``presched`` (see
+    :func:`_face_chunks_kernel`) additionally folds the windowed
+    resolve's kill + group-window preschedule into the same dispatch and
+    returns the lane-wide window table."""
     bs, _, _, nf = fvp.shape
     pad = (-nf) % face_chunk
     n_chunks = (nf + pad) // face_chunk
@@ -241,24 +310,39 @@ def _face_chunks_pallas(fvp, face_chunk, coords_dim, interpret):
                 (1, 1, coords_dim, face_chunk), lambda b, c: (b, c, 0, 0)
             )
         )
+    if presched is not None:
+        out_shape.append(
+            jax.ShapeDtypeStruct((bs, n_chunks, 4, face_chunk), jnp.int32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, 1, 4, face_chunk), lambda b, c: (b, c, 0, 0))
+        )
 
-    def wrapped(fv_ref, consts_ref, *rest):
+    def wrapped(fv_ref, rs_ref, *rest):
+        rest = list(rest)
+        consts_ref = rest.pop(0)
+        coords_ref = rest.pop(0) if coords_dim else None
+        tbl_ref = rest.pop(0) if presched is not None else None
         _face_chunks_kernel(
-            fv_ref, consts_ref, rest[0] if rest else None,
-            coords_dim=coords_dim,
+            fv_ref, rs_ref, consts_ref, coords_ref, tbl_ref,
+            coords_dim=coords_dim, presched=presched,
         )
 
     outs = pl.pallas_call(
         wrapped,
         grid=(bs, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, 3, 3, face_chunk), lambda b, c: (b, 0, 0, c))
+            pl.BlockSpec((1, 3, 3, face_chunk), lambda b, c: (b, 0, 0, c)),
+            pl.BlockSpec((1,), lambda b, c: (0,), memory_space=pltpu.SMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(g)
-    return outs[0], (outs[1] if coords_dim else None)
+    )(g, jnp.asarray(row_start, jnp.int32).reshape(1))
+    consts = outs[0]
+    coords = outs[1] if coords_dim else None
+    wtbl = outs[-1] if presched is not None else None
+    return consts, coords, wtbl
 
 
 def _windowed_kernel(
@@ -292,6 +376,7 @@ def _windowed_kernel(
     group_size,
     group_unroll=1,
     flat_windows=False,
+    tbl_wide=False,
 ):
     """Bin-free z-resolve: the whole pixel band stays VMEM-resident and
     every face touches only the (row_window x col_window) slabs covering
@@ -356,11 +441,19 @@ def _windowed_kernel(
             # culled backface, chunk padding) to an off-screen sentinel,
             # so the per-pixel bbox reject masks them with NO per-face
             # scalar predicates here; the union window coordinates come
-            # prescheduled from the SMEM table
-            r0 = tbl_ref[0, 0, i, 0]
-            n_rwin = tbl_ref[0, 0, i, 1]
-            c0 = tbl_ref[0, 0, i, 2]
-            n_cwin = tbl_ref[0, 0, i, 3]
+            # prescheduled from the SMEM table ([4, K] lane-wide with the
+            # group's tuple at its base lane when the fused constants
+            # kernel built it, [gpc, 4] from the XLA prepass otherwise)
+            if tbl_wide:
+                r0 = tbl_ref[0, 0, 0, base]
+                n_rwin = tbl_ref[0, 0, 1, base]
+                c0 = tbl_ref[0, 0, 2, base]
+                n_cwin = tbl_ref[0, 0, 3, base]
+            else:
+                r0 = tbl_ref[0, 0, i, 0]
+                n_rwin = tbl_ref[0, 0, i, 1]
+                c0 = tbl_ref[0, 0, i, 2]
+                n_cwin = tbl_ref[0, 0, i, 3]
 
             def do_window(rows, cols, xp, yp):
                 d = depth_ref[0, rows, cols]
@@ -550,66 +643,87 @@ def _run_windowed(
         g = jnp.pad(per_face, ((0, 0), (0, 0), (0, pad)))
         return g.reshape(bs, d, n_chunks, face_chunk).transpose(0, 2, 1, 3)
 
+    assert face_chunk % group_size == 0, (face_chunk, group_size)
+    gpc = face_chunk // group_size
+    if gpc % group_unroll:
+        group_unroll = 1  # unroll must tile the group count exactly
+
     coords_ch = None
-    if planar_faces and face_chunk % 128 == 0 and not interpret:
-        # single fused dispatch for constants + latch coords (see
+    wtbl = None
+    if (
+        planar_faces and face_chunk % 128 == 0 and not interpret
+        and _FUSED_PRESCHED
+    ):
+        # single fused dispatch for constants + latch coords + the FULL
+        # group preschedule (kill + union windows -- see
         # _face_chunks_kernel).  Compiled-only: Mosaic and XLA:TPU
         # contract the cross products to the same FMAs (verified
         # bitwise vs the XLA builder on v5e; asserted by the hardware
         # tier), while interpret mode evaluates op-by-op and loses the
         # contraction (1-ulp diffs on C0/C1/C2/det), so CPU tests keep
         # the XLA builder below.
-        consts_ch, coords_ch = _face_chunks_pallas(
+        consts_ch, coords_ch, wtbl = _face_chunks_pallas(
             face_vertices, face_chunk,
             coords_dim if latch else 0, interpret,
+            presched=dict(
+                draw_backside=draw_backside, group_size=group_size,
+                num_rows=num_rows, row_window=row_window,
+                col_window=col_window, image_size=image_size,
+            ),
+            row_start=row_start,
         )
     elif planar_faces:
         consts_ch = chunked_planar(face_constants_planar(face_vertices))
     else:
         consts_ch = chunked(face_constants(face_vertices))  # [bs, nf, 17]
 
-    # --- prescheduled groups (vectorized XLA prepass) -------------------
-    # The kernel used to spend ~150+ scalar cycles per face group on
-    # per-face valid predicates, the union-bbox fold, and the window
-    # integer math.  All of that is data the constants already determine,
-    # so it moves here as ~20 fused vector ops over [bs, nc, K]:
-    #   1. KILL invalid faces' bboxes (degenerate / culled backface /
-    #      chunk padding) to an impossible sentinel -- the kernel's
-    #      existing per-pixel bbox reject then makes them accept nothing,
-    #      bit-exactly replacing the scalar `valids` masks.
-    #   2. Precompute each G-face group's union-bbox window coordinates
-    #      (r0, n_rwin, c0, n_cwin) into an SMEM table; an all-invalid
-    #      group yields n_rwin <= 0 and its window loops never run.
-    assert face_chunk % group_size == 0, (face_chunk, group_size)
-    gpc = face_chunk // group_size
-    if gpc % group_unroll:
-        group_unroll = 1  # unroll must tile the group count exactly
-    det = consts_ch[:, :, 12]                     # [bs, nc, K]
-    valid = jnp.abs(det) >= DEGENERATE_EPS
-    if not draw_backside:
-        valid &= ~face_backside(tuple(consts_ch[:, :, j] for j in range(9)))
-    sent = jnp.asarray([4.0, -4.0, 4.0, -4.0], jnp.float32)
-    bbox_k = jnp.where(
-        valid[:, :, None], consts_ch[:, :, 13:17],
-        sent[None, None, :, None],
-    )
-    consts_ch = jnp.concatenate([consts_ch[:, :, :13], bbox_k], axis=2)
+    if wtbl is None:
+        # --- prescheduled groups (vectorized XLA prepass; the fused
+        # constants kernel above absorbs all of this when it runs) ------
+        # The kernel used to spend ~150+ scalar cycles per face group on
+        # per-face valid predicates, the union-bbox fold, and the window
+        # integer math.  All of that is data the constants already
+        # determine, so it moves here as ~20 fused vector ops over
+        # [bs, nc, K]:
+        #   1. KILL invalid faces' bboxes (degenerate / culled backface /
+        #      chunk padding) to an impossible sentinel -- the kernel's
+        #      existing per-pixel bbox reject then makes them accept
+        #      nothing, bit-exactly replacing the scalar `valids` masks.
+        #   2. Precompute each G-face group's union-bbox window
+        #      coordinates (r0, n_rwin, c0, n_cwin) into an SMEM table;
+        #      an all-invalid group yields n_rwin <= 0 and its window
+        #      loops never run.
+        det = consts_ch[:, :, 12]                     # [bs, nc, K]
+        valid = jnp.abs(det) >= DEGENERATE_EPS
+        if not draw_backside:
+            valid &= ~face_backside(
+                tuple(consts_ch[:, :, j] for j in range(9))
+            )
+        sent = jnp.asarray([4.0, -4.0, 4.0, -4.0], jnp.float32)
+        bbox_k = jnp.where(
+            valid[:, :, None], consts_ch[:, :, 13:17],
+            sent[None, None, :, None],
+        )
+        consts_ch = jnp.concatenate([consts_ch[:, :, :13], bbox_k], axis=2)
 
-    gb = bbox_k.reshape(bs, n_chunks, 4, gpc, group_size)
-    xmin_u, xmax_u = gb[:, :, 0].min(-1), gb[:, :, 1].max(-1)
-    ymin_u, ymax_u = gb[:, :, 2].min(-1), gb[:, :, 3].max(-1)
-    # the SAME _row_windows/_col_windows the kernel used to evaluate per
-    # group, applied vectorized over every group at once (identical
-    # schedule; and any conservative cover stays bit-exact anyway --
-    # re-processing a row cannot re-accept)
-    rbf = jnp.asarray(row_start, jnp.float32)
-    g_r0, g_nr = _row_windows(
-        (0.0, 0.0, ymin_u, ymax_u), rbf, num_rows, row_window, image_size
-    )
-    g_c0, g_nc = _col_windows(
-        (xmin_u, xmax_u, 0.0, 0.0), col_window, image_size
-    )
-    tbl = jnp.stack([g_r0, g_nr, g_c0, g_nc], -1)  # [bs, nc, gpc, 4] i32
+        gb = bbox_k.reshape(bs, n_chunks, 4, gpc, group_size)
+        xmin_u, xmax_u = gb[:, :, 0].min(-1), gb[:, :, 1].max(-1)
+        ymin_u, ymax_u = gb[:, :, 2].min(-1), gb[:, :, 3].max(-1)
+        # the SAME _row_windows/_col_windows the kernel used to evaluate
+        # per group, applied vectorized over every group at once
+        # (identical schedule; and any conservative cover stays bit-exact
+        # anyway -- re-processing a row cannot re-accept)
+        rbf = jnp.asarray(row_start, jnp.float32)
+        g_r0, g_nr = _row_windows(
+            (0.0, 0.0, ymin_u, ymax_u), rbf, num_rows, row_window,
+            image_size,
+        )
+        g_c0, g_nc = _col_windows(
+            (xmin_u, xmax_u, 0.0, 0.0), col_window, image_size
+        )
+        tbl = jnp.stack([g_r0, g_nr, g_c0, g_nc], -1).astype(jnp.int32)
+    else:
+        tbl = wtbl  # [bs, nc, 4, K] lane-wide (base lanes valid)
 
     rs_arr = jnp.asarray(row_start, jnp.int32).reshape(1)
     nf_arr = jnp.full((1,), nf, jnp.int32)
@@ -628,7 +742,8 @@ def _run_windowed(
     in_specs = [
         smem1((1,)), smem1((1,)), chunk_spec(17),
         pl.BlockSpec(
-            (1, 1, gpc, 4), lambda b, c: (b, c, 0, 0),
+            (1, 1, 4, face_chunk) if wtbl is not None else (1, 1, gpc, 4),
+            lambda b, c: (b, c, 0, 0),
             memory_space=pltpu.SMEM,
         ),
     ]
@@ -703,6 +818,7 @@ def _run_windowed(
         flat_windows=(
             not interpret if _WINDOW_LOOP == "auto" else _WINDOW_LOOP == "flat"
         ),
+        tbl_wide=wtbl is not None,
     )
 
     def wrapped(*refs):
@@ -1071,7 +1187,7 @@ def _run_binned(
     g_r0, g_nr = _row_windows(
         (0.0, 0.0, ymin_u, ymax_u), rbf, tile_h, row_window, image_size
     )
-    tbl = jnp.stack([g_r0, g_nr], -1)  # [bs, T*nc, gpc, 2] int32
+    tbl = jnp.stack([g_r0, g_nr], -1).astype(jnp.int32)  # [bs, T*nc, gpc, 2]
 
     rs_arr = jnp.asarray(row_start, jnp.int32).reshape(1)
     inputs = [rs_arr, cnt[:, None, :], ids, consts_cm, tbl]
@@ -1281,7 +1397,7 @@ def resolve_gather_pallas(
     draw_backside=True,
     face_chunk=256,
     tile=None,
-    row_window=16,
+    row_window=None,
     interpret=False,
     row_start=0,
     num_rows=None,
@@ -1331,6 +1447,13 @@ def resolve_gather_pallas(
             group_size = 2
         else:
             group_size = 4
+    if row_window is None:
+        # round-5 interleaved sweep (benchmarks/ab_window_loop.py rigor):
+        # mid meshes' faces span ~20 rows at the 512 canvas, so 24-row
+        # windows cover most G=4 union bboxes in ONE window (0.348 ->
+        # 0.324 ms at the 2.4K bench config; rw32 equal, rw48 +15%);
+        # large meshes' tiny faces keep 16 (rw24 +10% at 158K)
+        row_window = 16 if nf >= 16384 else 24
     if tile is not None and mode == "auto":
         mode = "binned"  # an explicit tile pins the binned kernel
     if _pick_mode(mode, image_size, num_rows, True, num_attrs) == "windowed":
@@ -1578,6 +1701,9 @@ _GROUP_UNROLL = 1
 # nested in interpret -- see the contraction note in _windowed_kernel),
 # or "flat"/"nested" to force (A/B switch)
 _WINDOW_LOOP = "auto"
+# Fold the group preschedule into the fused constants kernel (round 5;
+# False forces the XLA prepass -- A/B switch)
+_FUSED_PRESCHED = True
 
 
 def _scatter_geometry(P, num_faces, strip, face_chunk):
@@ -2753,7 +2879,7 @@ def compute_face_index_map_pallas(
     draw_backside=True,
     face_chunk=256,
     tile=None,
-    row_window=16,
+    row_window=None,
     interpret=False,
     row_start=0,
     num_rows=None,
@@ -2778,6 +2904,8 @@ def compute_face_index_map_pallas(
         # no latch stores at all: large meshes amortize scalar bookkeeping
         # over 4-face groups like the xy-latch path (resolve_gather_pallas)
         group_size = 4 if faces.shape[1] >= 16384 else 2
+    if row_window is None:
+        row_window = 16 if faces.shape[1] >= 16384 else 24
     if tile is not None and mode == "auto":
         mode = "binned"  # an explicit tile pins the binned kernel
     if _pick_mode(mode, image_size, num_rows, False, 0) == "windowed":

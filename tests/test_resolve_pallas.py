@@ -758,3 +758,70 @@ def test_bitpacked_word_skip_paths(monkeypatch):
     np.testing.assert_array_equal(got3, want3)
     # leave no forced-geometry executables behind for later tests
     rp.scatter_to_faces_pallas.clear_cache()
+
+
+def test_fused_preschedule_matches_xla_prepass():
+    """The constants kernel's in-kernel preschedule (kill + roll-fold
+    group unions + window table, round 5) against the XLA prepass it
+    replaces: killed bboxes bit-equal, window tuples equal at every
+    group base lane.  Window math is all-f32 on integer-valued floats
+    (contraction-free), so interpret mode is an exact oracle; det is
+    contraction-sensitive but only within 1 ulp of DEGENERATE_EPS,
+    unreachable for this data."""
+    from neural_renderer_v2_pytorch_tpu.ops import resolve_pallas as rp
+    from neural_renderer_v2_pytorch_tpu.ops.resolve import (
+        DEGENERATE_EPS, face_backside, face_constants_planar,
+    )
+
+    rng = np.random.RandomState(17)
+    bs, nf, K, G = 2, 700, 256, 4
+    S, rows, rw, cw, rs = 256, 256, 16, 128, 32
+    fvp = jnp.asarray(rng.randn(bs, 3, 3, nf).astype("float32") + 1.0)
+
+    for draw_backside in (True, False):
+        consts, coords, wtbl = rp._face_chunks_pallas(
+            fvp, K, 6, True,
+            presched=dict(
+                draw_backside=draw_backside, group_size=G, num_rows=rows,
+                row_window=rw, col_window=cw, image_size=S,
+            ),
+            row_start=rs,
+        )
+
+        # oracle: the XLA prepass on the XLA constants builder
+        pad = (-nf) % K
+        n_chunks = (nf + pad) // K
+        cp = jnp.pad(face_constants_planar(fvp), ((0, 0), (0, 0), (0, pad)))
+        consts_ch = cp.reshape(bs, 17, n_chunks, K).transpose(0, 2, 1, 3)
+        det = consts_ch[:, :, 12]
+        valid = jnp.abs(det) >= DEGENERATE_EPS
+        if not draw_backside:
+            valid &= ~face_backside(
+                tuple(consts_ch[:, :, j] for j in range(9))
+            )
+        sent = jnp.asarray([4.0, -4.0, 4.0, -4.0], jnp.float32)
+        bbox_k = jnp.where(
+            valid[:, :, None], consts_ch[:, :, 13:17],
+            sent[None, None, :, None],
+        )
+        gpc = K // G
+        gb = bbox_k.reshape(bs, n_chunks, 4, gpc, G)
+        xmin_u, xmax_u = gb[:, :, 0].min(-1), gb[:, :, 1].max(-1)
+        ymin_u, ymax_u = gb[:, :, 2].min(-1), gb[:, :, 3].max(-1)
+        g_r0, g_nr = rp._row_windows(
+            (0.0, 0.0, ymin_u, ymax_u), jnp.float32(rs), rows, rw, S
+        )
+        g_c0, g_nc = rp._col_windows((xmin_u, xmax_u, 0.0, 0.0), cw, S)
+        tbl_ref = np.asarray(
+            jnp.stack([g_r0, g_nr, g_c0, g_nc], -1).astype(jnp.int32)
+        )  # [bs, nc, gpc, 4]
+
+        np.testing.assert_array_equal(
+            np.asarray(consts[:, :, 13:17]), np.asarray(bbox_k),
+            err_msg="killed bboxes (draw_backside=%s)" % draw_backside,
+        )
+        got = np.asarray(wtbl)[:, :, :, ::G]  # base lanes -> [bs,nc,4,gpc]
+        np.testing.assert_array_equal(
+            got.transpose(0, 1, 3, 2), tbl_ref,
+            err_msg="window table (draw_backside=%s)" % draw_backside,
+        )

@@ -114,7 +114,7 @@ def test_fused_face_chunks_bit_exact_on_tpu():
     bs, nf, K = 2, 3000, 256  # pads to 3072: pad faces exercised
     fvp = np.asarray(rng.randn(bs, 3, 3, nf).astype("float32") + 1.0)
     for coords_dim in (9, 6):
-        consts, coords = jax.jit(
+        consts, coords, _ = jax.jit(
             lambda x, d=coords_dim: _face_chunks_pallas(x, K, d, False)
         )(fvp)
         got_c = np.asarray(consts).transpose(0, 2, 1, 3).reshape(bs, 17, -1)
