@@ -463,10 +463,26 @@ def _batch_chunked_core(vertices, faces, params, hp: RasterizeHyperparam):
     pad outputs are cropped, making the result bit-identical to the
     monolithic render image by image."""
     bs = vertices.shape[0]
-    # balance the chunks: bs=9 with batch_chunk=8 runs 2x5 images (1 pad),
-    # not 2x8 (7 pads) -- smaller sub-batches stay in the cheap regime
-    nb = -(-bs // hp.batch_chunk)
-    bc = -(-bs // nb)
+    # prefer an EXACT divisor of bs just below batch_chunk: bs=30 with
+    # batch_chunk=8 runs 5x6 images, not 4x8 -- measured 14.7 vs 16.5 ms
+    # on v5e (TPU_BATTERY_r05.log: the padded split renders 2 wasted
+    # images and its 8-image chunks sit past the per-image cost knee).
+    # Candidates stay >= 3/4 of the requested chunk: much smaller
+    # sub-batches compile to different XLA fusions whose lighting math
+    # drifts ~2e-7 from the monolithic render (observed at bc=2), and
+    # the bit-exact-vs-monolithic contract is worth more than the tail
+    # of the knee.  No qualifying divisor (e.g. prime bs) -> balanced
+    # padding as before (bs=9 runs 2x5 with 1 pad).
+    bc = None
+    for d in range(min(hp.batch_chunk, bs),
+                   max(2, (hp.batch_chunk * 3) // 4) - 1, -1):
+        if bs % d == 0:
+            bc = d
+            break
+    if bc is None:
+        nb = -(-bs // hp.batch_chunk)
+        bc = -(-bs // nb)
+    nb = -(-bs // bc)
     pad_b = nb * bc - bs
 
     def split(x):

@@ -362,6 +362,13 @@ def test_batch_chunked_render_bit_exact(reference_data):
     b = rasterize_silhouettes(tv, F, None, hp4)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # the exact-divisor split (round 5): bs=10 with batch_chunk=6 takes
+    # the divisor path (bc=5, two padless chunks; 5 >= 3/4 * 6) -- must
+    # stay bit-equal to the monolithic render
+    hp6 = RasterizeHyperparam(image_size=64, batch_chunk=6)
+    c = rasterize_silhouettes(tv, F, None, hp6)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
     vt, ft, tex = create_textures(F.shape[0], texture_size=2)
     params = RasterizeParam(
         vertices_textures=jnp.broadcast_to(jnp.asarray(vt[None]), (bs,) + vt.shape),
