@@ -453,6 +453,33 @@ def rasterize_core(vertices, faces, params: RasterizeParam, hyperparams: Rasteri
     return finalize_images(images, coordinate_map, foreground, backgrounds, hp)
 
 
+def _pick_batch_chunk(bs, batch_chunk):
+    """Sub-batch geometry for :func:`_batch_chunked_core`: returns
+    (chunk, n_chunks, pad).
+
+    Prefers the largest EXACT divisor of ``bs`` at or below
+    ``batch_chunk``: bs=30 with batch_chunk=8 runs 5x6 images, not 4x8
+    -- measured 14.7 vs 16.5 ms on v5e (TPU_BATTERY_r05.log: the padded
+    split renders 2 wasted images and its 8-image chunks sit past the
+    per-image cost knee).  Candidates stay >= 3/4 of the requested
+    chunk: much smaller sub-batches compile to different XLA fusions
+    whose lighting math drifts ~2e-7 from the monolithic render
+    (observed at bc=2), and the bit-exact-vs-monolithic contract is
+    worth more than the tail of the knee.  No qualifying divisor (e.g.
+    prime bs) -> balanced padding (bs=9 runs 2x5 with 1 pad)."""
+    bc = None
+    for d in range(min(batch_chunk, bs),
+                   max(2, (batch_chunk * 3) // 4) - 1, -1):
+        if bs % d == 0:
+            bc = d
+            break
+    if bc is None:
+        nb = -(-bs // batch_chunk)
+        bc = -(-bs // nb)
+    nb = -(-bs // bc)
+    return bc, nb, nb * bc - bs
+
+
 def _batch_chunked_core(vertices, faces, params, hp: RasterizeHyperparam):
     """Run :func:`rasterize_core` as a ``lax.map`` over ``batch_chunk``-
     image sub-batches (see the ``batch_chunk`` note on
@@ -463,27 +490,7 @@ def _batch_chunked_core(vertices, faces, params, hp: RasterizeHyperparam):
     pad outputs are cropped, making the result bit-identical to the
     monolithic render image by image."""
     bs = vertices.shape[0]
-    # prefer an EXACT divisor of bs just below batch_chunk: bs=30 with
-    # batch_chunk=8 runs 5x6 images, not 4x8 -- measured 14.7 vs 16.5 ms
-    # on v5e (TPU_BATTERY_r05.log: the padded split renders 2 wasted
-    # images and its 8-image chunks sit past the per-image cost knee).
-    # Candidates stay >= 3/4 of the requested chunk: much smaller
-    # sub-batches compile to different XLA fusions whose lighting math
-    # drifts ~2e-7 from the monolithic render (observed at bc=2), and
-    # the bit-exact-vs-monolithic contract is worth more than the tail
-    # of the knee.  No qualifying divisor (e.g. prime bs) -> balanced
-    # padding as before (bs=9 runs 2x5 with 1 pad).
-    bc = None
-    for d in range(min(hp.batch_chunk, bs),
-                   max(2, (hp.batch_chunk * 3) // 4) - 1, -1):
-        if bs % d == 0:
-            bc = d
-            break
-    if bc is None:
-        nb = -(-bs // hp.batch_chunk)
-        bc = -(-bs // nb)
-    nb = -(-bs // bc)
-    pad_b = nb * bc - bs
+    bc, nb, pad_b = _pick_batch_chunk(bs, hp.batch_chunk)
 
     def split(x):
         if not (hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == bs):

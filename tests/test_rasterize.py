@@ -502,3 +502,18 @@ def test_renderer_look_mode_and_background_image(reference_data):
         bg[0].transpose(1, 2, 0)[mask],
         atol=1e-6,
     )
+
+
+def test_pick_batch_chunk_geometry():
+    """The sub-batch chooser (measured tuning, TPU_BATTERY_r05.log #6):
+    exact divisors >= 3/4 of the requested chunk beat padded splits;
+    primes fall back to balanced padding."""
+    from neural_renderer_v2_pytorch_tpu.ops.rasterize import _pick_batch_chunk
+
+    assert _pick_batch_chunk(30, 8) == (6, 5, 0)    # the measured win
+    assert _pick_batch_chunk(16, 8) == (8, 2, 0)
+    assert _pick_batch_chunk(12, 8) == (6, 2, 0)
+    assert _pick_batch_chunk(10, 6) == (5, 2, 0)
+    assert _pick_batch_chunk(9, 8) == (5, 2, 1)     # balanced fallback
+    assert _pick_batch_chunk(11, 8) == (6, 2, 1)
+    assert _pick_batch_chunk(10, 8) == (5, 2, 0)    # balanced happens to divide
