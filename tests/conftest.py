@@ -9,12 +9,16 @@ import os
 
 # NOTE: this machine's site config pins JAX_PLATFORMS to the TPU plugin, so
 # the env var alone is not enough -- use jax.config before backend init.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# NR_TEST_TPU=1 (the hardware tier, tests/test_tpu_hardware.py) keeps the
+# real backend instead.
+_ON_TPU = bool(os.environ.get("NR_TEST_TPU"))
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 # persistent compilation cache keeps repeat runs fast
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache")
@@ -22,7 +26,8 @@ os.environ.setdefault(
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
