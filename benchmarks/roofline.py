@@ -397,6 +397,43 @@ def main():
     report("weight+coordinate planes", t, bytes_wc, 0,
            "fused elementwise over planes")
 
+    # --- mask + loss + SGD glue --------------------------------------------
+    # The step work outside every stage above: the foreground cast
+    # (fim >= 0 -> f32 plane), the sum(img^2) loss forward, the 2*img
+    # gradient seed, and the vertex SGD update.  All elementwise.
+    out_sz = args.image_size
+    img_out = jnp.asarray(
+        np.random.RandomState(8).rand(1, 1, out_sz, out_sz).astype("f"))
+    fim_f32 = np.asarray(fim, "float32")  # numpy closure (see caveats)
+
+    def glue_step(x):
+        fg = (jnp.asarray(fim_f32) + x[0, 0, 0, 0] * 1e-12 >= 0.0)
+        g = jax.grad(lambda i: jnp.sum(i * i))(x)
+        return x - 1e-9 * g + 1e-12 * jnp.sum(fg)
+    t = device_time(glue_step, img_out, n1=100, n2=500)
+    # fim read + fg plane write; loss read + seed write + update r/w on
+    # the output-size image; vertex update traffic is noise (nv*3*4*3)
+    bytes_glue = 2 * S * S * 4 + 4 * out_sz * out_sz * 4 + nv * 3 * 4 * 3
+    report("mask+loss+SGD glue", t, bytes_glue, 0,
+           "foreground cast, loss fwd, grad seed, vertex update")
+
+    # --- per-kernel sequencing floor ----------------------------------------
+    # The census (kernel_census.py) shows the bench step dispatches ~61
+    # top-level kernels; each measured stage chain above contains its own
+    # kernels (so their sequencing gaps are already inside the stage
+    # times), but the step also runs glue kernels that belong to no
+    # stage (relayout copies, channel concats, scan plumbing).  Measure
+    # the floor: a chain of trivial barrier-separated kernels.
+    from jax import lax as _lax
+    tiny = jnp.asarray(np.random.RandomState(9).rand(8, 128).astype("f"))
+
+    def seq_step(x):
+        for _ in range(16):
+            x = _lax.optimization_barrier(x + 1.0)
+        return x
+    t_seq = device_time(seq_step, tiny, n1=24, n2=120) / 16.0
+    seq_note = "measured %.2f us/kernel (barrier chain)" % (t_seq * 1e3)
+
     # --- full training step -----------------------------------------------
     hp = RasterizeHyperparam(image_size=args.image_size,
                              anti_aliasing=args.aa)
@@ -417,6 +454,13 @@ def main():
         "(attributed / step)", attributed, 0, 0, 0,
         100.0 * attributed / t if t else 0.0,
         "stage-sum coverage of the measured step",
+    ))
+    residual = t - attributed
+    rows.append((
+        "(residual)", residual, 0, 0, 0, 0.0,
+        "step minus stage sum; bounded by the ~61 glue dispatches x "
+        "the %s plus chip drift between measurements (same-day runs "
+        "read this row anywhere in [-0.05, +0.05] ms)" % seq_note,
     ))
 
     print()
